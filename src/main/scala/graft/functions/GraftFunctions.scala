@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * UTF8String-typed static wrappers for the pure kernels, shaped for
+ * Catalyst `StaticInvoke` (stays inside whole-stage codegen: the generated
+ * Java calls these statics directly — no UDF serialization, no codegen
+ * fallback, null propagation handled by `propagateNull`).
+ */
+object Kernels {
+  private def s(u: UTF8String): String = if (u == null) null else u.toString
+  private def u(v: String): UTF8String = if (v == null) null else UTF8String.fromString(v)
+
+  def urlCanonicalize(x: UTF8String): UTF8String = u(UrlKernel.canonicalize(s(x)))
+  def urlHost(x: UTF8String): UTF8String = u(UrlKernel.host(s(x)))
+  def urlResolve(b: UTF8String, r: UTF8String): UTF8String = u(UrlKernel.resolve(s(b), s(r)))
+  def urlQueryParam(x: UTF8String, k: UTF8String): UTF8String = u(UrlKernel.queryParam(s(x), s(k)))
+
+  def slugify(x: UTF8String): UTF8String = u(TextKernel.slugify(s(x)))
+  def stripParens(x: UTF8String): UTF8String = u(TextKernel.stripParens(s(x)))
+  def normalizeWs(x: UTF8String): UTF8String = u(TextKernel.normalizeWs(s(x)))
+  def normalizeDashes(x: UTF8String): UTF8String = u(TextKernel.normalizeDashes(s(x)))
+  def icsEscape(x: UTF8String): UTF8String = u(TextKernel.icsEscape(s(x)))
+  def icsFold(x: UTF8String): UTF8String = u(TextKernel.icsFold(s(x)))
+  def mimeGuess(x: UTF8String): UTF8String = u(TextKernel.mimeGuess(s(x)))
+  def descFallback(x: UTF8String): UTF8String = u(TextKernel.descriptionFallback(s(x)))
+  def lzDecompressUtf16(x: UTF8String): UTF8String = u(LzString.decompressFromUtf16(s(x)))
+  def lexicalToHtml(x: UTF8String): UTF8String = u(Lexical.render(s(x)))
+}
+
+/**
+ * User-facing column functions of the graft engine (the custom scalar
+ * surface from SURVEY.md §2.11). All are pure, deterministic, and
+ * codegen-friendly via `StaticInvoke`; `url_hash` composes the built-in
+ * `xxhash64` over the canonical form.
+ */
+object GraftFunctions {
+
+  private val K = Kernels.getClass
+
+  private def invoke1(name: String, c: Column): Column = ColumnBridge.column(
+    StaticInvoke(K, StringType, name, Seq(ColumnBridge.expression(c)),
+      inputTypes = Seq(StringType)))
+
+  private def invoke2(name: String, a: Column, b: Column): Column = ColumnBridge.column(
+    StaticInvoke(K, StringType, name,
+      Seq(ColumnBridge.expression(a), ColumnBridge.expression(b)),
+      inputTypes = Seq(StringType, StringType)))
+
+  def url_canonicalize(c: Column): Column = invoke1("urlCanonicalize", c)
+  def url_host(c: Column): Column = invoke1("urlHost", c)
+  def url_resolve(base: Column, ref: Column): Column = invoke2("urlResolve", base, ref)
+  def url_query_param(c: Column, key: Column): Column = invoke2("urlQueryParam", c, key)
+  /** 64-bit identity of a URL in the seen-set: xxhash64 of the canonical form. */
+  def url_hash(c: Column): Column = xxhash64(url_canonicalize(c))
+
+  def slugify(c: Column): Column = invoke1("slugify", c)
+  def strip_parens(c: Column): Column = invoke1("stripParens", c)
+  def normalize_ws(c: Column): Column = invoke1("normalizeWs", c)
+  def normalize_dashes(c: Column): Column = invoke1("normalizeDashes", c)
+  def ics_escape(c: Column): Column = invoke1("icsEscape", c)
+  def ics_fold(c: Column): Column = invoke1("icsFold", c)
+  def mime_guess(c: Column): Column = invoke1("mimeGuess", c)
+  def desc_fallback(c: Column): Column = invoke1("descFallback", c)
+  def lz_decompress_utf16(c: Column): Column = invoke1("lzDecompressUtf16", c)
+  def lexical_to_html(c: Column): Column = invoke1("lexicalToHtml", c)
+
+  /** Register all graft functions for SQL use (`SELECT url_canonicalize(u) ...`). */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+
+    def reg1(name: String, fn: String): Unit =
+      registry.createOrReplaceTempFunction(name,
+        (args: Seq[Expression]) => StaticInvoke(K, StringType, fn, args.take(1),
+          inputTypes = Seq(StringType)), "built-in")
+    def reg2(name: String, fn: String): Unit =
+      registry.createOrReplaceTempFunction(name,
+        (args: Seq[Expression]) => StaticInvoke(K, StringType, fn, args.take(2),
+          inputTypes = Seq(StringType, StringType)), "built-in")
+
+    reg1("url_canonicalize", "urlCanonicalize")
+    reg1("url_host", "urlHost")
+    reg2("url_resolve", "urlResolve")
+    reg2("url_query_param", "urlQueryParam")
+    reg1("graft_slugify", "slugify")
+    reg1("strip_parens", "stripParens")
+    reg1("normalize_ws", "normalizeWs")
+    reg1("normalize_dashes", "normalizeDashes")
+    reg1("ics_escape", "icsEscape")
+    reg1("ics_fold", "icsFold")
+    reg1("mime_guess", "mimeGuess")
+    reg1("desc_fallback", "descFallback")
+    reg1("lz_decompress_utf16", "lzDecompressUtf16")
+    reg1("lexical_to_html", "lexicalToHtml")
+  }
+}

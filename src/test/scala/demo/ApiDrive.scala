@@ -1,0 +1,64 @@
+package demo
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Consumer-style drive harness: exercises the graft library exactly as an
+ * external user would (public API only). Run:
+ *   sbt "Test/runMain demo.ApiDrive"
+ */
+object ApiDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+
+    // 1. SQL surface over real data
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    spark.sql("""
+      SELECT doc_id,
+             url_canonicalize(concat('HTTP://Example.COM:80/view.php?b=', doc_id, '&a=1#f')) AS canon,
+             url_query_param(concat('http://h/p?wr_id=', doc_id), 'wr_id') AS wr_id,
+             graft_slugify(concat('Doc Title ', doc_id, ' (draft)')) AS slug
+      FROM documents LIMIT 3""").show(false)
+
+    // 2. Column API + codegen check
+    import graft.functions.GraftFunctions._
+    val plan = docs.select(url_hash(concat(lit("https://ssu.ac.kr/b?id="), $"doc_id")).as("h"))
+    plan.explain("formatted")
+    println("distinct url hashes: " + plan.distinct.count)
+
+    // 3. Merge over posts derived from real parquet
+    import graft.operators.Merge
+    val mkPosts = docs.limit(100).select(
+      lit("site_a").as("site_id"), $"doc_id".cast("string").as("id"),
+      concat(lit("http://ssu.ac.kr/p?id="), $"doc_id").as("url"),
+      lit(null).cast("string").as("author"), concat(lit("T"), $"doc_id").as("title"),
+      lit(null).cast("string").as("description"), array(lit("공지")).as("category"),
+      to_timestamp(lit("2026-01-01 00:00:00")).as("created_at"),
+      lit(null).cast("timestamp").as("updated_at"), lit(null).cast("string").as("thumbnail"),
+      $"text".as("content"),
+      array().cast("array<struct<url:string,name:string,mime_type:string>>").as("attachments"),
+      lit(null).cast("map<string,string>").as("metadata"))
+    val oldP = mkPosts.filter($"id".cast("int") < 80)
+    val newP = mkPosts.filter($"id".cast("int") >= 50)
+      .withColumn("content", when($"id".cast("int") < 60, concat($"content", lit(" CHANGED"))).otherwise($"content"))
+    val r = Merge.mergeEntries(oldP, newP, java.sql.Timestamp.valueOf("2026-03-01 00:00:00"))
+    println("merged rows: " + r.posts.count + " (expect 100)")
+    r.events.groupBy("event").count.show()
+
+    // PROBES
+    spark.sql("SELECT url_canonicalize(NULL) n, url_canonicalize('not a url at all') m, url_host('???::') h").show(false)
+    try spark.sql("SELECT url_resolve('only-one-arg')").show()
+    catch { case e: Exception => println("ARITY ERROR: " + e.getMessage.take(160)) }
+    val noop = Merge.mergeEntries(r.posts, newP.limit(0), java.sql.Timestamp.valueOf("2026-03-02 00:00:00"))
+    println("noop events: " + noop.events.count + " rows kept: " + noop.posts.count)
+    spark.stop()
+  }
+}
