@@ -1,13 +1,545 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Merge, Similarity, Spans, TextAnalysis}
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the training-data ops), with DuckDB oracle SQL where the
+ * operator is SQL-expressible. Column names are aligned between the Spark
+ * result and the oracle (the driver sorts columns by name before hashing).
+ *
+ * Float discipline: money sums go through exact integer cents; cosine
+ * similarities are rounded to 6 dp on both sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val mergeNow = Timestamp.valueOf("2026-01-15 00:00:00")
+
+  /** Posts snapshot synthesized from `orders` — the merge-upsert fixture.
+    * old = keys not divisible by 3; new = even keys, content changed for
+    * %10==0, own updated_at for %20==0. */
+  private def ordersOld(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0).select(
+      col("o_orderpriority").as("site_id"),
+      col("o_orderkey").cast("string").as("id"),
+      concat(lit("http://b.ssu.ac.kr/p?id="), col("o_orderkey")).as("url"),
+      lit(null).cast("string").as("author"),
+      concat(lit("T"), col("o_orderstatus")).as("title"),
+      lit(null).cast("string").as("description"),
+      array(lit("공지")).as("category"),
+      col("o_orderdate").as("created_at"),
+      lit(null).cast("timestamp").as("updated_at"),
+      lit(null).cast("string").as("thumbnail"),
+      concat(lit("C"), col("o_orderkey") % 7).as("content"),
+      array().cast("array<struct<url:string,name:string,mime_type:string>>").as("attachments"),
+      lit(null).cast("map<string,string>").as("metadata"))
+
+  private def ordersNew(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderpriority").as("site_id"),
+      col("o_orderkey").cast("string").as("id"),
+      concat(lit("http://b.ssu.ac.kr/p?id="), col("o_orderkey")).as("url"),
+      lit(null).cast("string").as("author"),
+      concat(lit("T"), col("o_orderstatus")).as("title"),
+      lit(null).cast("string").as("description"),
+      array(lit("공지")).as("category"),
+      col("o_orderdate").as("created_at"),
+      when(col("o_orderkey") % 20 === 0, lit(Timestamp.valueOf("2026-02-02 00:00:00")))
+        .otherwise(lit(null).cast("timestamp")).as("updated_at"),
+      lit(null).cast("string").as("thumbnail"),
+      when(col("o_orderkey") % 10 === 0, lit("CHANGED"))
+        .otherwise(concat(lit("C"), col("o_orderkey") % 7)).as("content"),
+      array().cast("array<struct<url:string,name:string,mime_type:string>>").as("attachments"),
+      lit(null).cast("map<string,string>").as("metadata"),
+      col("o_orderkey").as("seq"))
+
+  private def mergedOrders(s: SparkSession, dir: String): Merge.MergeResult =
+    Merge.mergeEntries(ordersOld(s, dir), ordersNew(s, dir), mergeNow)
+
+  /** Flagship: end-to-end merge + top-K slice over sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Merge.topKPerSite(mergedOrders(spark, dir).posts, 100)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (reference operator analogs) ----
+    "q01_pricing_agg" -> ((s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("sum_disc_price_cents"),
+        count(lit(1)).as("n_rows"))),
+
+    "q02_join_enrich" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    "q03_topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+    },
+
+    "q04_merge_upsert" -> ((s, dir) => mergedOrders(s, dir).posts
+      .select("site_id", "id", "title", "content", "created_at", "updated_at", "rank")),
+
+    "q05_merge_events" -> ((s, dir) => mergedOrders(s, dir).events
+      .groupBy("event").agg(count(lit(1)).as("n"))),
+
+    "q06_replace_in_range" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        col("event_id").cast("string").as("id"), col("event_type").as("title"),
+        lit(null).cast("string").as("description"), col("ts").as("starts_at"),
+        lit(null).cast("timestamp").as("ends_at"), lit(null).cast("string").as("location"),
+        lit(null).cast("string").as("url"))
+      val lo = Timestamp.valueOf("2024-01-20 00:00:00")
+      val hi = Timestamp.valueOf("2024-01-25 23:59:59")
+      val newEv = ev.filter(col("starts_at").between(lit(lo), lit(hi)))
+        .withColumn("title", concat(col("title"), lit("_refreshed")))
+      Merge.mergeCalendarReplaceInRange(ev, newEv, lo, hi)
+        .select("id", "title", "starts_at")
+    },
+
+    "q07_dedup_keeplast" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("user_id", "event_id", "ts")
+    },
+
+    "q08_semi_join" -> ((s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")),
+
+    "q09_anti_join" -> ((s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")),
+
+    "q10_union_pages" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      li.filter(col("l_orderkey") % 10 === 0)
+        .unionByName(li.filter(col("l_orderkey") % 10 === 5))
+    },
+
+    "q11_event_counts" -> ((s, dir) => t(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))),
+
+    "q12_range_filter" -> ((s, dir) => t(s, dir, "events")
+      .filter(col("ts").between(
+        lit(Timestamp.valueOf("2024-01-10 00:00:00")),
+        lit(Timestamp.valueOf("2024-01-15 23:59:59"))))
+      .select("event_id", "ts", "event_type")),
+
+    "q13_running_window" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 6).as("running_value"))
+    },
+
+    // ---- scalar kernels over synthesized columns ----
+    "q14_url_canonicalize" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), GraftFunctions.url_canonicalize(
+        concat(lit("HTTP://Board.SSU.ac.KR:80/bbs/./list.php?z="), col("doc_id"),
+          lit("&a=1#frag"))).as("canon"))),
+
+    "q15_url_resolve" -> { (s, dir) =>
+      val base = lit("https://h.example/a/b/list.php?page=2")
+      val rel = when(col("doc_id") % 4 === 0, concat(lit("http://other.host/abs/"), col("doc_id")))
+        .when(col("doc_id") % 4 === 1, concat(lit("/root/view.php?id="), col("doc_id")))
+        .when(col("doc_id") % 4 === 2, concat(lit("../up/"), col("doc_id"), lit(".html")))
+        .otherwise(concat(lit("?page="), col("doc_id")))
+      t(s, dir, "documents").select(col("doc_id"),
+        GraftFunctions.url_resolve(base, rel).as("resolved"))
+    },
+
+    "q16_url_params" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), GraftFunctions.url_query_param(
+        concat(lit("http://b/board.php?bo_table=notice&wr_id="), col("doc_id")),
+        lit("wr_id")).as("wr_id"))),
+
+    "q17_slugify" -> ((s, dir) => t(s, dir, "part")
+      .select(col("p_partkey"),
+        GraftFunctions.slugify(concat(col("p_name"), lit(" (SSU) #"), col("p_partkey")))
+          .as("slug"))),
+
+    "q18_date_dialects" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val str1 = date_format(col("o_orderdate"), "yyyy.MM.dd")
+      val str2 = date_format(col("o_orderdate"), "yyyy'년' M'월' d'일'")
+      val str3 = date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm")
+      val parsed = when(col("o_orderkey") % 3 === 0, to_timestamp(str1, "yyyy.MM.dd"))
+        .when(col("o_orderkey") % 3 === 1, to_timestamp(str2, "yyyy'년' M'월' d'일'"))
+        .otherwise(to_timestamp(str3, "yyyy-MM-dd HH:mm"))
+      o.select(col("o_orderkey"),
+        to_utc_timestamp(parsed, "Asia/Seoul").as("created_utc"))
+    },
+
+    "q19_mime_guess" -> { (s, dir) =>
+      val ext = element_at(
+        array(lit(".pdf"), lit(".hwp"), lit(".jpg"), lit(".zip"), lit(".docx"), lit("")),
+        (col("p_partkey") % 6 + 1).cast("int"))
+      t(s, dir, "part").select(col("p_partkey"),
+        GraftFunctions.mime_guess(concat(lit("attach_"), col("p_partkey"), ext)).as("mime"))
+    },
+
+    "q20_desc_fallback" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), GraftFunctions.desc_fallback(col("text")).as("description"))),
+
+    "q21_ics_escape" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), GraftFunctions.ics_escape(
+        concat(lit("loc;A,B\\"), substring(col("text"), 1, 40))).as("escaped"))),
+
+    // ---- interleaved span model (input_hint shape) ----
+    "q22_span_explode" -> ((s, dir) =>
+      Spans.explodeSpans(Spans.nest(Spans.docsToSpanRows(t(s, dir, "documents"))))),
+
+    "q23_span_roundtrip" -> ((s, dir) =>
+      Spans.reassembleText(Spans.docsToSpanRows(t(s, dir, "documents")))
+        .select(col("doc_id"), col("text"))),
+
+    // ---- dedup family ----
+    "q24_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source")),
+
+    "q25_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprintDedup(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q26_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "q27_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5,
+        numBands = 32, rowsPerBand = 2)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "q28_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)),
+
+    // ---- similarity search ----
+    "q29_ann_brute" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    },
+
+    "q30_ann_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        bitsPerTable = 4, tables = 16)
+    },
+
+    // ---- text analysis ----
+    "q31_token_count" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    "q32_quality" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_chars").as("n_chars"), col("q.n_tokens").as("n_tokens"),
+        col("q.punct_ratio").as("punct_ratio"), col("q.stopword_ratio").as("stopword_ratio"),
+        col("q.mean_word_len").as("mean_word_len"))),
+
+    "q33_langid" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred")))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Omitted for q27/q28/q30 (approximate candidate
+  // generation — validated against exact results in ScalaTest instead).
+  // ---------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        |count(*) AS n_rows FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_join_enrich" ->
+      """SELECT r_name, n_name,
+        |CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q03_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, price_cents, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q04_merge_upsert" ->
+      """WITH old AS (
+        |  SELECT o_orderpriority AS site_id, CAST(o_orderkey AS VARCHAR) AS id,
+        |         'T' || o_orderstatus AS title,
+        |         'C' || CAST(o_orderkey % 7 AS VARCHAR) AS content,
+        |         o_orderdate AS created_at, CAST(NULL AS TIMESTAMP) AS updated_at
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |new AS (
+        |  SELECT o_orderpriority AS site_id, CAST(o_orderkey AS VARCHAR) AS id,
+        |         'T' || o_orderstatus AS title,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'CHANGED'
+        |              ELSE 'C' || CAST(o_orderkey % 7 AS VARCHAR) END AS content,
+        |         o_orderdate AS created_at,
+        |         CASE WHEN o_orderkey % 20 = 0 THEN TIMESTAMP '2026-02-02 00:00:00'
+        |              ELSE NULL END AS updated_at,
+        |         o_orderkey AS seq
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |oldr AS (SELECT *, row_number() OVER (PARTITION BY site_id
+        |                   ORDER BY created_at, id) AS orank FROM old),
+        |mx AS (SELECT site_id, max(orank) AS maxr FROM oldr GROUP BY site_id),
+        |j AS (
+        |  SELECT coalesce(o.site_id, n.site_id) AS site_id,
+        |         coalesce(o.id, n.id) AS id,
+        |         o.id IS NULL AS is_insert,
+        |         (o.id IS NOT NULL AND n.id IS NOT NULL AND
+        |          NOT (o.title = n.title AND trim(o.content) = trim(n.content))) AS is_update,
+        |         o.title AS o_title, n.title AS n_title,
+        |         o.content AS o_content, n.content AS n_content,
+        |         o.created_at AS o_created, n.created_at AS n_created,
+        |         o.updated_at AS o_updated, n.updated_at AS n_updated,
+        |         o.orank AS o_rank, n.seq AS n_seq
+        |  FROM oldr o FULL OUTER JOIN new n ON o.site_id = n.site_id AND o.id = n.id),
+        |ins AS (SELECT site_id, id, row_number() OVER (PARTITION BY site_id
+        |               ORDER BY n_created, n_seq) AS ins_rn FROM j WHERE is_insert)
+        |SELECT j.site_id, j.id,
+        |  CASE WHEN is_insert OR is_update THEN n_title ELSE o_title END AS title,
+        |  CASE WHEN is_insert OR is_update THEN n_content ELSE o_content END AS content,
+        |  CASE WHEN is_insert THEN n_created
+        |       WHEN is_update AND n_updated IS NOT NULL THEN n_created
+        |       WHEN is_update THEN o_created
+        |       ELSE o_created END AS created_at,
+        |  CASE WHEN is_insert THEN n_updated
+        |       WHEN is_update THEN coalesce(n_updated, TIMESTAMP '2026-01-15 00:00:00')
+        |       ELSE o_updated END AS updated_at,
+        |  CAST(CASE WHEN is_insert THEN coalesce(mx.maxr, 0) + ins.ins_rn
+        |       ELSE o_rank END AS BIGINT) AS "rank"
+        |FROM j LEFT JOIN mx ON j.site_id = mx.site_id
+        |LEFT JOIN ins ON j.site_id = ins.site_id AND j.id = ins.id""".stripMargin,
+
+    "q05_merge_events" ->
+      """WITH old AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |         'T' || o_orderstatus AS title,
+        |         'C' || CAST(o_orderkey % 7 AS VARCHAR) AS content
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |new AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |         'T' || o_orderstatus AS title,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'CHANGED'
+        |              ELSE 'C' || CAST(o_orderkey % 7 AS VARCHAR) END AS content
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT CASE WHEN o.id IS NULL THEN 'post_created' ELSE 'post_updated' END AS event,
+        |       count(*) AS n
+        |FROM new n LEFT JOIN old o ON n.id = o.id
+        |WHERE o.id IS NULL
+        |   OR NOT (o.title = n.title AND trim(o.content) = trim(n.content))
+        |GROUP BY 1""".stripMargin,
+
+    "q06_replace_in_range" ->
+      """WITH ev AS (SELECT CAST(event_id AS VARCHAR) AS id, event_type AS title,
+        |                   ts AS starts_at FROM events),
+        |newe AS (SELECT id, title || '_refreshed' AS title, starts_at FROM ev
+        |         WHERE starts_at BETWEEN TIMESTAMP '2024-01-20 00:00:00'
+        |                             AND TIMESTAMP '2024-01-25 23:59:59')
+        |SELECT id, title, starts_at FROM (
+        |  SELECT * FROM ev WHERE starts_at NOT BETWEEN TIMESTAMP '2024-01-20 00:00:00'
+        |                                           AND TIMESTAMP '2024-01-25 23:59:59'
+        |    AND id NOT IN (SELECT id FROM newe)
+        |  UNION ALL SELECT * FROM newe)""".stripMargin,
+
+    "q07_dedup_keeplast" ->
+      """SELECT user_id, event_id, ts FROM (
+        |  SELECT user_id, event_id, ts, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q08_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""".stripMargin,
+
+    "q10_union_pages" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey % 10 = 5""".stripMargin,
+
+    "q11_event_counts" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q12_range_filter" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |             AND TIMESTAMP '2024-01-15 23:59:59'""".stripMargin,
+
+    "q13_running_window" ->
+      """SELECT user_id, event_id, round(sum(value) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+        |FROM events""".stripMargin,
+
+    "q14_url_canonicalize" ->
+      """SELECT doc_id, 'http://board.ssu.ac.kr/bbs/list.php?a=1&z=' || CAST(doc_id AS VARCHAR)
+        |  AS canon FROM documents""".stripMargin,
+
+    "q15_url_resolve" ->
+      """SELECT doc_id, CASE
+        |  WHEN doc_id % 4 = 0 THEN 'http://other.host/abs/' || CAST(doc_id AS VARCHAR)
+        |  WHEN doc_id % 4 = 1 THEN 'https://h.example/root/view.php?id=' || CAST(doc_id AS VARCHAR)
+        |  WHEN doc_id % 4 = 2 THEN 'https://h.example/a/up/' || CAST(doc_id AS VARCHAR) || '.html'
+        |  ELSE 'https://h.example/a/b/list.php?page=' || CAST(doc_id AS VARCHAR)
+        |  END AS resolved FROM documents""".stripMargin,
+
+    "q16_url_params" ->
+      """SELECT doc_id, CAST(doc_id AS VARCHAR) AS wr_id FROM documents""".stripMargin,
+
+    "q17_slugify" ->
+      """SELECT p_partkey, trim(regexp_replace(
+        |  lower(p_name || ' (ssu) #' || CAST(p_partkey AS VARCHAR)),
+        |  '[^a-z0-9]+', '-', 'g'), '-') AS slug FROM part""".stripMargin,
+
+    "q18_date_dialects" ->
+      """SELECT o_orderkey, CASE
+        |  WHEN o_orderkey % 3 = 0 THEN strptime(strftime(o_orderdate, '%Y.%m.%d'), '%Y.%m.%d')
+        |  WHEN o_orderkey % 3 = 1 THEN strptime(strftime(o_orderdate, '%Y년 %-m월 %-d일'), '%Y년 %-m월 %-d일')
+        |  ELSE strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M')
+        |  END - INTERVAL 9 HOUR AS created_utc FROM orders""".stripMargin,
+
+    "q19_mime_guess" ->
+      """SELECT p_partkey, CASE p_partkey % 6
+        |  WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'application/x-hwp'
+        |  WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'application/zip'
+        |  WHEN 4 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+        |  ELSE NULL END AS mime FROM part""".stripMargin,
+
+    "q20_desc_fallback" ->
+      """SELECT doc_id, CASE WHEN length(text) <= 50 THEN text
+        |  ELSE substr(text, 1, 50) || '...' END AS description FROM documents""".stripMargin,
+
+    "q21_ics_escape" ->
+      """SELECT doc_id, replace(replace(replace(replace(replace(
+        |  'loc;A,B\' || substr(text, 1, 40),
+        |  '\', '\\'), ';', '\;'), ',', '\,'), chr(13), ''), chr(10), '\n') AS escaped
+        |FROM documents""".stripMargin,
+
+    "q22_span_explode" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, 'text' AS kind, unnest(t) AS text,
+        |       CAST(NULL AS VARCHAR) AS media_ref,
+        |       CAST(generate_subscripts(t, 1) - 1 AS INTEGER) AS "offset"
+        |FROM toks
+        |UNION ALL
+        |SELECT doc_id, 'image' AS kind, CAST(NULL AS VARCHAR) AS text,
+        |       'media://' || source || '/' || CAST(doc_id AS VARCHAR) AS media_ref,
+        |       CAST(len(t) AS INTEGER) AS "offset"
+        |FROM toks""".stripMargin,
+
+    "q23_span_roundtrip" ->
+      """SELECT doc_id, text FROM documents""".stripMargin,
+
+    "q24_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+
+    "q25_fingerprint" ->
+      """WITH fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))), ' '))
+        |  AS fingerprint FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1 AS keep
+        |FROM fp""".stripMargin,
+
+    "q26_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 0) + 1),
+        |  i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a, b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+        |FROM inter JOIN sz x ON a = x.doc_id JOIN sz y ON b = y.doc_id
+        |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin,
+
+    "q29_ann_brute" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, rk, round(sim, 6) AS sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rk FROM scored) WHERE rk <= 5""".stripMargin,
+
+    "q31_token_count" ->
+      """SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |  x -> len(x) > 0)) AS INTEGER) AS n_tokens FROM documents""".stripMargin,
+
+    "q32_quality" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(t) AS INTEGER) AS n_tokens,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |    * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+        |    * 1.0 / greatest(len(t), 1), 6) AS stopword_ratio,
+        |  round(CASE WHEN len(t) > 0 THEN list_aggregate(list_transform(t, x -> len(x)), 'sum')
+        |    * 1.0 / len(t) ELSE 0.0 END, 6) AS mean_word_len
+        |FROM base""".stripMargin,
+
+    "q33_langid" ->
+      """WITH base AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |scores AS (SELECT doc_id,
+        |  len(list_filter(t, x -> x IN ('the','and','of','is'))) AS s_en,
+        |  len(list_filter(t, x -> x IN ('der','und','die','ist'))) AS s_de,
+        |  len(list_filter(t, x -> x IN ('el','la','de','es'))) AS s_es,
+        |  len(list_filter(t, x -> x IN ('le','la','et','est'))) AS s_fr
+        |  FROM base)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+        |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |  ELSE 'fr' END AS lang_pred FROM scores""".stripMargin
+  )
 }

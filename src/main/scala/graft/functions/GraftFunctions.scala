@@ -34,6 +34,45 @@ object Kernels {
   def descFallback(x: UTF8String): UTF8String = u(TextKernel.descriptionFallback(s(x)))
   def lzDecompressUtf16(x: UTF8String): UTF8String = u(LzString.decompressFromUtf16(s(x)))
   def lexicalToHtml(x: UTF8String): UTF8String = u(Lexical.render(s(x)))
+
+  /** FNV-1a 64-bit over UTF-8 bytes — deterministic token hash for simhash. */
+  private def fnv64(t: String): Long = {
+    var h = -3750763034362895579L // FNV offset basis
+    var i = 0
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 1099511628211L // FNV prime
+      i += 1
+    }
+    h
+  }
+
+  /**
+   * 64-bit SimHash over lowercase whitespace tokens: per-bit vote of each
+   * token's FNV-1a hash; sign of the vote decides the output bit.
+   */
+  def simhash64(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val votes = new Array[Int](64)
+    text.toString.toLowerCase.split("\\s+").foreach { t =>
+      if (t.nonEmpty) {
+        val h = fnv64(t)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }
 
 /**
@@ -72,6 +111,10 @@ object GraftFunctions {
   def desc_fallback(c: Column): Column = invoke1("descFallback", c)
   def lz_decompress_utf16(c: Column): Column = invoke1("lzDecompressUtf16", c)
   def lexical_to_html(c: Column): Column = invoke1("lexicalToHtml", c)
+  /** 64-bit SimHash of a text column (token-level, FNV-1a votes). */
+  def simhash64(c: Column): Column = ColumnBridge.column(
+    StaticInvoke(K, org.apache.spark.sql.types.LongType, "simhash64",
+      Seq(ColumnBridge.expression(c)), inputTypes = Seq(StringType)))
 
   /** Register all graft functions for SQL use (`SELECT url_canonicalize(u) ...`). */
   def registerAll(spark: SparkSession): Unit = {
@@ -101,5 +144,9 @@ object GraftFunctions {
     reg1("desc_fallback", "descFallback")
     reg1("lz_decompress_utf16", "lzDecompressUtf16")
     reg1("lexical_to_html", "lexicalToHtml")
+    registry.createOrReplaceTempFunction("simhash64",
+      (args: Seq[Expression]) => StaticInvoke(K,
+        org.apache.spark.sql.types.LongType, "simhash64", args.take(1),
+        inputTypes = Seq(StringType)), "built-in")
   }
 }

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale training-data pipelines:
+ * exact, fingerprint, n-gram Jaccard, MinHash+LSH, SimHash.
+ *
+ * Generalizes the reference's id-keyed dedup (study plugin `HashSet` dedup
+ * on sb_seq, plugins/study/src/lib.rs:92-124; calendar BTreeMap upsert,
+ * ssu-academic-calendar lib.rs:50-63) to content-level near-duplicate
+ * detection over a `documents(doc_id, text)` corpus.
+ *
+ * Scale notes (100 TB):
+ *  - exact/fingerprint dedup is one hash-shuffle on the group key — the key
+ *    is a fixed-width digest (md5), so the shuffle carries digests, not
+ *    documents: project the digest FIRST, shuffle (digest, doc_id) pairs
+ *    only, then semi-join winners back (done below).
+ *  - n-gram Jaccard self-joins explode on stop-shingles: `maxShingleFreq`
+ *    drops shingles seen in more than F docs (standard df-cut) — at scale
+ *    this bounds the join fan-out to F^2 per shingle.
+ *  - MinHash/LSH replaces the quadratic shingle join with band-bucket
+ *    joins: candidates meet only if a band collides. Signature computation
+ *    is pure column arithmetic (stays in whole-stage codegen).
+ */
+object Dedup {
+
+  /** Tokenize to lowercase word array (whitespace split). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles as distinct strings (empty when < n tokens). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), count),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /**
+   * Exact dedup by full text equality: keeps the smallest `idCol` per text.
+   * Shuffles (digest, id) pairs, not documents.
+   */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol), md5(col(textCol)).as("_digest"))
+    val winners = keyed.groupBy("_digest").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /**
+   * Fingerprint (key-collision) dedup: md5 of the sorted distinct token
+   * set — the classic "fingerprint" normalization (word order / repetition
+   * insensitive). Returns (id, fingerprint) plus a keep flag for the
+   * per-fingerprint winner (min id).
+   */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
+    fp.withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /**
+   * Exact n-gram Jaccard near-duplicate pairs: all (a, b), a < b, with
+   * |shingles(a) ∩ shingles(b)| / |union| >= threshold.
+   * `maxShingleFreq` (0 = off) applies a document-frequency cut before the
+   * self-join — at web scale hot shingles would otherwise dominate the
+   * shuffle (host-skew analog of the frontier's hot hosts).
+   */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+    val filtered =
+      if (maxShingleFreq <= 0) sh
+      else {
+        val hot = sh.groupBy("shingle").count().filter(col("count") > maxShingleFreq)
+          .select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col("id").as("a"), col("shingle"))
+    val b = filtered.select(col("id").as("b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Deterministic per-seed 64-bit mixer: rehash with the seed as a second
+    * input (ANSI-safe: no overflowing arithmetic, stays codegen'd). */
+  private def mix(h: Column, seed: Int): Column = xxhash64(h, lit(seed))
+
+  /**
+   * MinHash signature: for each of `numHashes` seeded mixers, the minimum
+   * over the document's shingle hashes. Pure column arithmetic — the whole
+   * signature computation stays inside whole-stage codegen.
+   */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val base = transform(shingles(text, n), s => xxhash64(s))
+    array((0 until numHashes).map { i =>
+      array_min(transform(base, h => mix(h, i)))
+    }: _*)
+  }
+
+  /**
+   * MinHash + LSH candidate generation and verification:
+   *  1. signature (numBands * rowsPerBand mixers);
+   *  2. band hashes -> bucket join (same band+hash => candidate pair);
+   *  3. verify candidates with exact Jaccard;
+   * returns (a, b, jaccard) for verified pairs >= threshold.
+   * Only candidate pairs are verified — the quadratic join never happens.
+   */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val bands = sig.select(col("id"), posexplode(
+      array((0 until numBands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "bucket")))
+    val l = bands.select(col("id").as("a"), col("band"), col("bucket"))
+    val r = bands.select(col("id").as("b"), col("band"), col("bucket"))
+    val candidates = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // verify with exact jaccard on the candidate set only
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash over word tokens (computed in [[graft.functions.Kernels]]
+   * as a codegen'd static call). Near-dup pairs = hamming distance <= maxDist,
+   * found by probing permuted prefixes (here: 4 rotations as block keys —
+   * pairs within distance <= 3 collide on at least one 16-bit block).
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sig"))
+    // 4 blocks of 16 bits: by pigeonhole, hamming<=3 pairs share >=1 block
+    val blocks = sigs.select(col("id"), col("sig"), posexplode(array(
+      (0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*
+    )).as(Seq("block", "key")))
+    val l = blocks.select(col("id").as("a"), col("sig").as("siga"), col("block"), col("key"))
+    val r = blocks.select(col("id").as("b"), col("sig").as("sigb"), col("block"), col("key"))
+    l.join(r, Seq("block", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

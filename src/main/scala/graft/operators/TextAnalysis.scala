@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data curation: token counting, quality
+ * scoring, language identification, document fingerprinting. Everything is
+ * pure column arithmetic (whole-stage codegen; no UDFs), so the operators
+ * cost one streaming pass over the corpus with full predicate/column
+ * pushdown upstream.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(Dedup.tokens(text))
+
+  /** BPE-ish subword count estimate: word-pieces + digits + punctuation runs. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "(?=[^a-z0-9가-힣])|(?<=[^a-z0-9가-힣])"),
+      t => length(trim(t)) > 0))
+
+  /**
+   * Quality features (length / punctuation / stopword ratios) — the usual
+   * fasttext-style cheap filters. Returns a struct column.
+   */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  def qualityFeatures(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val nTok = size(toks)
+    val nChars = length(text)
+    val punct = nChars - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val stopCount = size(filter(toks, t => t.isInCollection(stopwords)))
+    val meanWordLen = when(nTok > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    struct(
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(punct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
+      round(stopCount.cast("double") / greatest(nTok, lit(1)), 6).as("stopword_ratio"),
+      round(meanWordLen, 6).as("mean_word_len"))
+  }
+
+  /**
+   * Marker-token language-ID heuristic (n-gram/stopword counting): scores
+   * each candidate language by marker hits, argmax wins, "und" when no
+   * marker hits. Deterministic and SQL-expressible (mirrors the DuckDB
+   * oracle in SparkEntry).
+   */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "la", "de", "es"),
+    "fr" -> Seq("le", "la", "et", "est"))
+
+  def langId(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val scores = markers.map { case (lang, ms) =>
+      (lang, size(filter(toks, t => t.isInCollection(ms))))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      // first language (in marker order) achieving the max wins
+      when(acc === "und" && score > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Rolling-hash document fingerprint: md5 of the sorted distinct token set. */
+  def docFingerprint(text: Column): Column = Dedup.fingerprint(text)
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup keeps one winner per distinct text") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(out.count() === distinctTexts)
+  }
+
+  test("fingerprint dedup: keep flag marks exactly one row per fingerprint") {
+    val fp = Dedup.fingerprintDedup(docs, "doc_id", "text")
+    val perFp = fp.filter(col("keep")).groupBy("fingerprint").count()
+      .agg(max("count")).as[Long].head()
+    assert(perFp === 1L)
+    assert(fp.count() === docs.count())
+  }
+
+  test("minhash LSH pairs achieve >=90% recall of exact jaccard pairs at 0.5") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.5,
+      numBands = 32, rowsPerBand = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture corpus must contain near-dup pairs")
+    // LSH never invents pairs (candidates are verified with exact jaccard)
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= (exact.size * 0.9).toInt, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash pairs are symmetric-free and within hamming bound") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+  }
+
+  test("LSH ANN achieves >=70% top-5 recall of brute force on the fixture corpus") {
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5,
+      bitsPerTable = 4, tables = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.7, s"ANN recall $recall")
+  }
+
+  test("brute-force ANN self-consistency: top-1 neighbor of a duplicated vector is itself") {
+    val dup = emb.limit(3).withColumn("vec_id", col("vec_id") + 1000000)
+    val out = Similarity.bruteForceTopK(emb.unionByName(dup), dup, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    out.foreach { case (q, n) => assert(n === q - 1000000) }
+  }
+
+  test("span explode/reassemble round-trips every document (span-sequence invariant)") {
+    val spanRows = Spans.explodeSpans(Spans.nest(Spans.docsToSpanRows(docs)))
+    val back = Spans.reassembleText(spanRows)
+    val mismatches = back.as("b").join(docs.as("d"), "doc_id")
+      .filter(col("b.text") =!= col("d.text")).count()
+    assert(mismatches === 0)
+    // media spans present once per doc, at the tail offset
+    val media = spanRows.filter(col("kind") === "image")
+    assert(media.count() === docs.count())
+  }
+}
