@@ -64,10 +64,13 @@ object SparkEntry {
   private def mergedOrders(s: SparkSession, dir: String): Merge.MergeResult =
     Merge.mergeEntries(ordersOld(s, dir), ordersNew(s, dir), mergeNow)
 
-  /** Flagship: end-to-end merge + top-K slice over sf0.001. */
+  /** Flagship: the full daemon — crawl the 54-site synthetic web, merge
+    * into an empty cache, emit newest-first top-K per site (the reference
+    * dry-run shape: limit 20, dry-run.yml:16). */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    Merge.topKPerSite(mergedOrders(spark, dir).posts, 100)
+    import graft.crawl.{Crawl, Pipeline}
+    Pipeline.runDaemon(spark, Crawl.Config(scale = 60, limitPerSite = 20),
+      Pipeline.emptyCache(spark), mergeNow, topK = 20).topPosts
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -269,8 +272,40 @@ object SparkEntry {
         col("q.mean_word_len").as("mean_word_len"))),
 
     "q33_langid" -> ((s, dir) => t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred")))
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // ---- crawl engine (deterministic synthetic web; no SQL oracle —
+    // invariants asserted in graft.crawl.CrawlSpec instead) ----
+    "q34_crawl_schedule" -> ((s, _) =>
+      graft.crawl.Crawl.run(s, crawlCfg).schedule
+        .select("wave", "host", "canonical", "url_hash", "site_id", "page", "row",
+          "ready_ms", "crawl_delay_ms")),
+
+    "q35_crawl_seen" -> ((s, _) =>
+      graft.crawl.Crawl.run(s, crawlCfg).seen
+        .groupBy("first_wave").agg(count(lit(1)).as("n_urls"))),
+
+    "q36_crawl_lineage" -> ((s, _) => graft.crawl.Crawl.run(s, crawlCfg).lineage),
+
+    "q37_pipeline_feeds" -> { (s, _) =>
+      val out = graft.crawl.Pipeline.runDaemon(s, crawlCfg,
+        graft.crawl.Pipeline.emptyCache(s), mergeNow, topK = 30)
+      out.rss.select(col("site_id"), length(col("rss_xml")).as("rss_bytes"))
+        .join(out.siteJson.select(col("site_id"), length(col("site_json")).as("json_bytes")),
+          Seq("site_id"))
+    },
+
+    "q38_recrawl_events" -> { (s, _) =>
+      val run0 = graft.crawl.Pipeline.runDaemon(s, crawlCfg,
+        graft.crawl.Pipeline.emptyCache(s), mergeNow, topK = 30)
+      val run1 = graft.crawl.Pipeline.runDaemon(s, crawlCfg.copy(rev = 1),
+        run0.cache, Timestamp.valueOf("2026-01-16 00:00:00"), topK = 30)
+      run1.events.groupBy("event").agg(count(lit(1)).as("n"))
+    }
   )
+
+  /** Daemon-production-shaped crawl config (limit 30, daemon.yml:26-29). */
+  private val crawlCfg = graft.crawl.Crawl.Config(scale = 100, limitPerSite = 30)
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. Omitted for q27/q28/q30 (approximate candidate

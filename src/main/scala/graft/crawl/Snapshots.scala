@@ -1,0 +1,66 @@
+package graft.crawl
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Iceberg-STYLE snapshot convention over Parquet (no Iceberg runtime jar is
+ * available offline — SURVEY.md §7): versioned snapshot dirs
+ * `snapshots/v<N>/<table>/` + a JSON manifest with per-partition lineage,
+ * and an atomically-replaced `CURRENT` pointer. This gives the properties
+ * the north rule exercises — resumability, snapshot isolation, lineage —
+ * behind a small API a real Iceberg catalog could replace.
+ *
+ * Reference analog: the crawl output repo itself is the checkpoint
+ * (cache JSON round-tripped through git, .github/workflows/
+ * daemon.yml:73-84,127-143).
+ */
+object Snapshots {
+
+  def write(spark: SparkSession, dir: String, wave: Int,
+      tables: Map[String, DataFrame], cfg: Crawl.Config): Unit = {
+    val vdir = Paths.get(dir, "snapshots", s"v$wave")
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(vdir.resolve(name).toString)
+    }
+    val counts = tables.map { case (n, df) => s""""$n": ${df.count()}""" }.mkString(", ")
+    val manifest =
+      s"""{"wave": $wave, "scale": ${cfg.scale}, "limit_per_site": ${cfg.limitPerSite},
+         | "rev": ${cfg.rev}, "num_salts": ${cfg.numSalts},
+         | "probe_pagination": ${cfg.probePagination}, "row_counts": {$counts}}""".stripMargin
+    Files.createDirectories(vdir)
+    Files.writeString(vdir.resolve("manifest.json"), manifest)
+    // atomic CURRENT pointer swap
+    val tmp = Paths.get(dir, "snapshots", s".CURRENT.tmp$wave")
+    Files.writeString(tmp, s"v$wave")
+    Files.move(tmp, Paths.get(dir, "snapshots", "CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentVersion(dir: String): Option[Int] = {
+    val cur = Paths.get(dir, "snapshots", "CURRENT")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim.stripPrefix("v").toInt)
+    else None
+  }
+
+  private def readTable(spark: SparkSession, dir: String, v: Int, name: String): DataFrame =
+    spark.read.parquet(Paths.get(dir, "snapshots", s"v$v", name).toString)
+
+  /**
+   * Resume a crawl from the latest snapshot: re-enter the wave loop at
+   * wave v+1 with the persisted frontier/seen/posts state. Idempotent by
+   * construction: the seen-set makes re-fetching a no-op and the schedule
+   * is a pure function of the frontier.
+   */
+  def resume(spark: SparkSession, dir: String, cfg: Crawl.Config): Crawl.Result = {
+    val v = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT snapshot under $dir"))
+    Crawl.runFrom(spark, cfg,
+      frontier0 = readTable(spark, dir, v, "frontier"),
+      wave0 = v + 1,
+      seen0 = readTable(spark, dir, v, "seen"),
+      posts0 = readTable(spark, dir, v, "posts"),
+      schedule0 = Some(readTable(spark, dir, v, "schedule")),
+      lineage0 = Some(readTable(spark, dir, v, "lineage")))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.crawl
+
+import java.sql.Timestamp
+import graft.model.{Attachment, Post}
+
+/**
+ * Deterministic synthetic web: a pure function of (seed, scale, rev) that
+ * realizes the reference's URL grammars (SURVEY.md §2.1 S1-S9) as a
+ * closed link graph the frontier scheduler can crawl without network.
+ *
+ *  - list pages expand to post links (page_size per page) + the next list
+ *    page, exactly the reference's sequential pagination walk
+ *    (gnuboard mod.rs:84-147);
+ *  - post pages yield one interleaved text+media document (Post with
+ *    media markers; span decomposition via [[graft.operators.Spans]]);
+ *  - `rev` models content drift between crawl runs: every post with
+ *    id % 17 == 0 changes content at a higher rev (drives the
+ *    post_updated merge path); posts with id % 23 == 0 appear only at
+ *    rev >= 1 (drives post_created on re-crawl).
+ *
+ * Everything below is a pure function of its arguments — crawls are
+ * byte-identical across parallelism levels and re-runs (the north-rule
+ * acceptance needs identical order + seen set at N and 4N).
+ */
+object SyntheticWeb {
+
+  final case class Req(
+      url: String, site_id: String, kind: String, // list | post
+      page: Int, row: Int, depth: Int)
+
+  val siteById: Map[String, Site] = Sites.all.map(s => s.site_id -> s).toMap
+
+  private def sep(base: String): String = if (base.contains("?")) "&" else "?"
+
+  /** List-page URL for page p (1-based) — per-family grammar. */
+  def listUrl(site: Site, p: Int): String = site.family match {
+    case "gnuboard"  => s"${site.base_url}&page=$p"
+    case "wordpress" => s"${site.base_url}/page/$p"
+    case "ssucatch"  => s"${site.base_url}${sep(site.base_url)}paged=$p"
+    case "offset"    => s"${site.base_url}${sep(site.base_url)}offset=${(p - 1) * site.page_size}"
+    case "cursor"    => s"${site.base_url}${sep(site.base_url)}LastNoticeIndex=${(p - 1) * site.page_size}"
+    case "api"       => s"${site.base_url}/api/board?page=$p&size=${site.page_size}"
+    case "lz"        => s"${site.base_url}${sep(site.base_url)}page=$p"
+    case "auth"      => s"${site.base_url}${sep(site.base_url)}pageIndex=$p"
+    case "calendar"  => s"${site.base_url}${sep(site.base_url)}years=${2024 + p}"
+    case f           => throw new IllegalArgumentException(f)
+  }
+
+  /** Post URL for post n (1-based, newest = highest) — per-family grammar. */
+  def postUrl(site: Site, n: Long): String = site.family match {
+    case "gnuboard"  => s"${site.base_url}&wr_id=$n"
+    case "wordpress" => s"${site.base_url}/?slug=post-$n"
+    case "ssucatch"  => s"${site.base_url}${sep(site.base_url)}slug=notice-$n"
+    case "offset"    => s"${site.base_url}${sep(site.base_url)}idx=$n"
+    case "cursor"    => s"${site.base_url}/view${sep("x")}no=$n"
+    case "api"       => s"${site.base_url}/api/post?id=$n"
+    case "lz" =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(n.toString.getBytes("UTF-8"))
+      s"${site.base_url.replace("notice_list.do", "notice_view.do")}${sep(site.base_url)}sbSeq=$b64"
+    case "auth"      => s"${site.base_url}${sep(site.base_url)}encSddpbSeq=enc$n"
+    case "calendar"  => s"${site.base_url}${sep(site.base_url)}event=$n"
+    case f           => throw new IllegalArgumentException(f)
+  }
+
+  // --- deterministic content ------------------------------------------------
+
+  private val vocab: Array[String] = Array(
+    "수강신청", "장학금", "공지", "안내", "모집", "신청", "변경", "학사", "일정", "프로그램",
+    "notice", "announcement", "deadline", "schedule", "apply", "update", "seminar",
+    "lecture", "course", "registration", "scholarship", "dormitory", "campus", "exam",
+    "winter", "spring", "summer", "fall", "semester", "credit", "online", "offline")
+
+  /** xxhash64-compatible cheap mixer for content generation (pure). */
+  private def mix(x: Long, y: Long): Long = {
+    var h = x ^ (y * -7046029254386353131L)
+    h ^= h >>> 30; h *= -4658895280553007687L
+    h ^= h >>> 27; h *= -7723592293110705685L
+    h ^ (h >>> 31)
+  }
+
+  /** Does this post's content change at rev >= 1? */
+  def changesAtRev1(n: Long): Boolean = n % 17 == 0
+  /** Does this post exist only at rev >= 1? */
+  def newAtRev1(n: Long): Boolean = n % 23 == 0
+
+  /**
+   * Fetch a post page -> one interleaved document. The content interleaves
+   * text runs with media markers; thumbnail + attachments mirror the
+   * reference post shape (gnuboard mod.rs:150-232).
+   */
+  def fetchPost(site: Site, n: Long, rev: Int, seed: Long): Post = {
+    val effRev = if (changesAtRev1(n) && rev >= 1) 1 else 0
+    val h0 = mix(mix(seed, site.site_id.hashCode.toLong), n * 31 + effRev)
+    val nTokens = 20 + (math.abs(h0) % 60).toInt
+    val words = (0 until nTokens).map { i =>
+      vocab((math.abs(mix(h0, i.toLong)) % vocab.length).toInt)
+    }
+    val hasImage = math.abs(h0) % 3 == 0
+    val hasAttach = math.abs(h0) % 4 == 0
+    val imgRef = s"https://${site.host}/files/img_$n.jpg"
+    val attRef = s"https://${site.host}/files/doc_$n.hwp"
+    val content = {
+      val mid = words.length / 2
+      val sb = new StringBuilder(words.take(mid).mkString(" "))
+      if (hasImage) sb.append(s""" <img src="$imgRef">""")
+      sb.append(" ").append(words.drop(mid).mkString(" "))
+      if (effRev == 1) sb.append(" [개정판 rev1]")
+      sb.toString
+    }
+    // created_at: deterministic recent-past timestamp, newest post = latest
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val created = new Timestamp(base + n * 60000L + (site.zipf_rank * 1000L))
+    Post(
+      site_id = site.site_id,
+      id = n.toString,
+      url = postUrl(site, n),
+      author = if (math.abs(h0) % 5 == 0) None else Some(s"작성자${math.abs(h0) % 50}"),
+      title = s"[${site.site_id}] ${words.head} ${words(1)} #$n",
+      description = None,
+      category = if (n % 9 == 0) Seq("공지") else Seq.empty,
+      created_at = created,
+      updated_at = None,
+      thumbnail = if (hasImage) Some(imgRef) else None,
+      content = content,
+      attachments = if (hasAttach)
+        Seq(Attachment(attRef, Some(s"doc_$n.hwp"), Some("application/x-hwp"))) else Seq.empty,
+      metadata = None)
+  }
+
+  /**
+   * Expand one request: list pages yield post links (newest-first within
+   * the page, exactly the board ordering) + the next page while the
+   * per-site `limit` budget allows (reference limit pushdown: per-page
+   * take(remain) + stop, gnuboard mod.rs:92-108); post pages yield docs.
+   */
+  def expand(req: Req, scale: Long, limit: Long, rev: Int): (Option[Post], Seq[Req]) = {
+    val site = siteById(req.site_id)
+    req.kind match {
+      case "list" =>
+        val total0 = Sites.postCount(site, scale)
+        // posts with id % 23 == 0 don't exist yet at rev 0
+        val visible = if (rev >= 1) total0 else total0 - (total0 / 23)
+        val wanted = math.min(visible, limit)
+        val pageStart = (req.page - 1).toLong * site.page_size
+        val remain = wanted - pageStart
+        if (remain <= 0) (None, Seq.empty)
+        else {
+          // newest-first: page 1 lists ids total..total-pageSize+1
+          val onPage = math.min(site.page_size.toLong, remain)
+          val ids = (0L until onPage).map { r => idAt(total0, pageStart + r, rev) }
+          val posts = ids.zipWithIndex.map { case (n, r) =>
+            Req(postUrl(site, n), site.site_id, "post", req.page, r, req.depth + 1)
+          }
+          val next =
+            if (pageStart + onPage < wanted)
+              Seq(Req(listUrl(site, req.page + 1), site.site_id, "list",
+                req.page + 1, 0, req.depth))
+            else Seq.empty
+          (None, posts ++ next)
+        }
+      case "post" =>
+        val n = parsePostId(req.url, site)
+        (Some(fetchPost(site, n, rev, Crawl.DefaultSeed)), Seq.empty)
+      case k => throw new IllegalArgumentException(k)
+    }
+  }
+
+  /** The id listed at 0-based position `pos` (newest-first over the full
+    * population 1..total), skipping ids % 23 == 0 when rev == 0
+    * (closed form: the q-th non-multiple of 23 is q + (q-1)/22). */
+  private def idAt(total: Long, pos: Long, rev: Int): Long =
+    if (rev >= 1) total - pos
+    else {
+      val m = total - total / 23 // non-multiples in [1, total]
+      val q = m - pos            // 1-indexed rank from the bottom
+      q + (q - 1) / 22
+    }
+
+  /** Inverse of [[postUrl]] — recover the post id from a discovered URL. */
+  def parsePostId(url: String, site: Site): Long = site.family match {
+    case "gnuboard"  => graft.functions.UrlKernel.queryParam(url, "wr_id").toLong
+    case "wordpress" => graft.functions.UrlKernel.queryParam(url, "slug").stripPrefix("post-").toLong
+    case "ssucatch"  => graft.functions.UrlKernel.queryParam(url, "slug").stripPrefix("notice-").toLong
+    case "offset"    => graft.functions.UrlKernel.queryParam(url, "idx").toLong
+    case "cursor"    => graft.functions.UrlKernel.queryParam(url, "no").toLong
+    case "api"       => graft.functions.UrlKernel.queryParam(url, "id").toLong
+    case "lz" =>
+      new String(java.util.Base64.getDecoder.decode(
+        graft.functions.UrlKernel.queryParam(url, "sbSeq")), "UTF-8").toLong
+    case "auth"      => graft.functions.UrlKernel.queryParam(url, "encSddpbSeq").stripPrefix("enc").toLong
+    case "calendar"  => graft.functions.UrlKernel.queryParam(url, "event").toLong
+    case f           => throw new IllegalArgumentException(f)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.crawl
+
+import java.sql.Timestamp
+import graft.SparkSuite
+import graft.operators.Merge
+import org.apache.spark.sql.functions._
+
+class CrawlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val cfg = Crawl.Config(scale = 200, limitPerSite = 50)
+
+  private def orderKey(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("wave", "ready_ms", "host", "site_id", "page", "row", "canonical")
+      .orderBy("wave", "ready_ms", "host", "site_id", "page", "row", "canonical")
+      .collect().map(_.mkString("|")).toSeq
+
+  private lazy val run1 = Crawl.run(spark, cfg)
+  private lazy val schedule1 = run1.schedule.cache()
+
+  test("crawl is deterministic: two runs produce identical order and seen set") {
+    val run2 = Crawl.run(spark, cfg)
+    assert(orderKey(schedule1) === orderKey(run2.schedule))
+    val seen1 = run1.seen.select("url_hash").orderBy("url_hash").as[Long].collect().toSeq
+    val seen2 = run2.seen.select("url_hash").orderBy("url_hash").as[Long].collect().toSeq
+    assert(seen1 === seen2)
+    assert(seen1.distinct.size === seen1.size, "seen set must be duplicate-free")
+  }
+
+  test("limit pushdown: no site fetches more posts than the per-site budget") {
+    val perSite = run1.posts.groupBy("site_id").count().as[(String, Long)].collect().toMap
+    perSite.foreach { case (site, n) =>
+      assert(n <= cfg.limitPerSite, s"$site fetched $n > ${cfg.limitPerSite}")
+    }
+    // the hottest site hits the cap exactly
+    assert(perSite("scatch.ssu.ac.kr") === cfg.limitPerSite)
+  }
+
+  test("politeness: per-host fetches are spaced by the robots crawl-delay within a wave") {
+    val rows = schedule1
+      .select("wave", "host", "ready_ms", "crawl_delay_ms")
+      .as[(Int, String, Long, Int)].collect()
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((_, host), hs) =>
+      val times = hs.map(_._3).sorted
+      val delay = hs.head._4
+      times.sliding(2).foreach {
+        case Array(a, b) => assert(b - a >= delay, s"$host spaced ${b - a} < $delay")
+        case _           =>
+      }
+    }
+  }
+
+  test("co-hosted sites share one politeness bucket (cse boards)") {
+    val cse = schedule1.filter(col("host") === "cse.ssu.ac.kr")
+      .select("site_id").distinct().as[String].collect().toSet
+    assert(cse.size === 3, s"expected 3 cse boards, got $cse")
+    // their ready_ms values never collide within a wave (single host clock)
+    val perWave = schedule1.filter(col("host") === "cse.ssu.ac.kr")
+      .groupBy("wave", "ready_ms").count().filter(col("count") > 1).count()
+    assert(perWave === 0)
+  }
+
+  test("seen set equals the set of scheduled canonical url hashes") {
+    val fromSchedule = schedule1.select(col("url_hash")).distinct().count()
+    assert(run1.seen.count() === fromSchedule)
+  }
+
+  test("lineage rows cover every wave with positive fetch counts") {
+    val l = run1.lineage.as[(Int, Int, Long, Long, Long)].collect()
+    assert(l.nonEmpty)
+    val waves = l.map(_._1).distinct.sorted
+    assert(waves.head === 0)
+    waves.foreach { w =>
+      assert(l.filter(_._1 == w).map(_._5).sum > 0, s"wave $w fetched nothing")
+    }
+    // hot-host salting: wave with detail fetches spreads over >1 partition
+    val spread = l.filter(_._1 == 1).map(_._2).distinct.length
+    assert(spread > 1, s"fetch stage not spread: $spread partition(s)")
+  }
+
+  test("re-crawl at rev 1 produces post_updated and post_created through the merge") {
+    val now0 = Timestamp.valueOf("2026-03-01 00:00:00")
+    val now1 = Timestamp.valueOf("2026-03-02 00:00:00")
+    val cache0 = Merge.mergeEntries(
+      spark.emptyDataset[graft.model.Post].toDF(), run1.posts, now0).posts
+    val rev1 = Crawl.run(spark, cfg.copy(rev = 1))
+    val m = Merge.mergeEntries(cache0, rev1.posts, now1)
+    val events = m.events.groupBy("event").count().as[(String, Long)].collect().toMap
+    assert(events.getOrElse("post_updated", 0L) > 0, s"no updates: $events")
+    assert(events.getOrElse("post_created", 0L) > 0, s"no creates: $events")
+    // updated posts preserve created_at and stamp the injected batch time
+    val upd = m.posts.filter(col("updated_at") === lit(now1)).count()
+    assert(upd === events("post_updated"))
+  }
+
+  test("snapshot kill-and-resume reproduces the uninterrupted crawl exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    // "killed" run: stops after wave 0, snapshot v0 persisted
+    Crawl.run(spark, cfg.copy(maxWaves = 1, snapshotDir = Some(dir)))
+    assert(Snapshots.currentVersion(dir) === Some(0))
+    val resumed = Snapshots.resume(spark, dir, cfg)
+    assert(orderKey(resumed.schedule) === orderKey(schedule1))
+    assert(resumed.seen.count() === run1.seen.count())
+    assert(resumed.posts.count() === run1.posts.count())
+  }
+}
