@@ -75,14 +75,28 @@ object Crawl {
   def seeds(spark: SparkSession, cfg: Config): Dataset[SyntheticWeb.Req] = {
     import spark.implicits._
     val calendarYears = 2 // reference: this year + next (cli main.rs:268-277)
-    val reqs = Sites.all.flatMap { s =>
+    val scale = cfg.scale; val limit = cfg.limitPerSite; val rev = cfg.rev
+    val probe = cfg.probePagination
+    val siteSeeds = spark.createDataset(Sites.all)
+    siteSeeds.flatMap { s =>
       if (s.family == "calendar")
         (1 to calendarYears).map(y =>
           SyntheticWeb.Req(SyntheticWeb.listUrl(s, y), s.site_id, "list", y, 0, 0))
-      else
+      else if (probe) {
+        // static pagination fan-out: the page count is computable up front
+        // (reference precedent: ssucatch page fan-out S3,
+        // plugins/ssucatch/src/lib.rs:261-295, and chemeng total-pages
+        // probe A3, lib.rs:341-372) — every list page is a seed, keeping
+        // the crawl at two breadth levels (lists, then posts)
+        val total0 = Sites.postCount(s, scale)
+        val visible = if (rev >= 1) total0 else total0 - total0 / 23
+        val wanted = math.min(visible, limit)
+        val lastPage = math.max(1L, (wanted + s.page_size - 1) / s.page_size).toInt
+        (1 to lastPage).map(p =>
+          SyntheticWeb.Req(SyntheticWeb.listUrl(s, p), s.site_id, "list", p, 0, 0))
+      } else
         Seq(SyntheticWeb.Req(SyntheticWeb.listUrl(s, 1), s.site_id, "list", 1, 0, 0))
-    }
-    spark.createDataset(reqs).repartition(spark.sparkContext.defaultParallelism)
+    }.repartition(spark.sparkContext.defaultParallelism)
   }
 
   def run(spark: SparkSession, cfg: Config): Result = {
@@ -101,6 +115,15 @@ object Crawl {
     import spark.implicits._
 
     val robotsDf = broadcast(robots(spark))
+    // wave stage-out root: the snapshot dir when snapshotting, else a temp
+    // (tmpfs when available — wave files are transient and RAM-backed
+    // stage-out removes disk-IO jitter; a cluster would use HDFS/S3 here)
+    val workDir = cfg.snapshotDir.getOrElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val base = if (java.nio.file.Files.isWritable(shm)) shm
+                 else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      java.nio.file.Files.createTempDirectory(base, "graft-crawl-").toString
+    }
     val emptySchedule = Seq.empty[(Int, String, String, String, Long, String, Int, Int, Int, Long, Int)]
       .toDF("wave", "host", "url", "canonical", "url_hash", "site_id", "page", "row", "depth",
         "ready_ms", "crawl_delay_ms")
@@ -108,14 +131,33 @@ object Crawl {
       .toDF("wave", "partition_id", "scheduled", "deduped", "fetched")
 
     var frontier = frontier0
-    var seen = seen0.persist(StorageLevel.MEMORY_AND_DISK)
-    var seenCount = seen.count()
-    var posts = posts0
-    var schedule = schedule0.getOrElse(emptySchedule)
-    var lineage = lineage0.getOrElse(emptyLineage)
+    // Growing state is kept as PARTS (one persisted DataFrame per wave) and
+    // unioned once at the end: rebuilding a growing union tree inside the
+    // loop makes Catalyst/AQE re-plan an ever-larger plan every wave — a
+    // serial driver cost that destroys N->4N scaling efficiency.
+    val seenParts = scala.collection.mutable.ArrayBuffer(
+      seen0.persist(StorageLevel.MEMORY_AND_DISK))
+    val postParts = scala.collection.mutable.ArrayBuffer(posts0)
+    val scheduleParts = scala.collection.mutable.ArrayBuffer(
+      schedule0.getOrElse(emptySchedule))
+    val lineageParts = scala.collection.mutable.ArrayBuffer(
+      lineage0.getOrElse(emptyLineage))
+    def seenAll = seenParts.reduce(_ unionByName _)
+    var seenCount = seenParts.head.count()
     var wave = wave0
+    // frontier size is carried between waves (the producer counted it) —
+    // no extra action per wave just to test emptiness
+    var frontierCount = frontier.count()
 
-    while (wave < cfg.maxWaves && !frontier.isEmpty) {
+    val debug = sys.env.get("SPARK_GRAFT_CRAWL_DEBUG").contains("1")
+    def tick[T](label: String, wv: Int)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (debug) System.err.println(f"[crawl] w$wv $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    while (wave < cfg.maxWaves && frontierCount > 0) {
       // 1. canonicalize + hash (codegen'd kernels)
       val keyed = frontier
         .withColumn("canonical", GraftFunctions.url_canonicalize(col("url")))
@@ -129,7 +171,8 @@ object Crawl {
         .filter(col("_rn") === 1).drop("_rn")
 
       // 3. seen-set filter (bloom + exact anti-join)
-      val fresh = SeenSet.filterNew(inWave, seen, "url_hash", seenCount)
+      val fresh = tick("bloom+filterNew(build)", wave)(
+        SeenSet.filterNew(inWave, seenAll, "url_hash", seenCount))
 
       // 4. politeness: per-host virtual clock from robots crawl-delay
       val wHost = Window.partitionBy("host")
@@ -141,12 +184,22 @@ object Crawl {
         .withColumn("host_hash", xxhash64(col("host")))
         .withColumn("salt", pmod(col("url_hash"), lit(cfg.numSalts)))
 
-      // 5. salted repartition for the fetch stage (defeats host skew)
+      // 5. salted repartition for the fetch stage (defeats host skew),
+      // then ONE streaming pass that stages the wave out to columnar
+      // storage (parquet). Wide rows are never cached in memory: the
+      // in-memory columnar cache build cost ~3x the compute at 10^6 rows
+      // and is pure GC pressure at 10^10 — stage-out to storage is the
+      // 100 TB design, and every downstream consumer (counts, seen-set,
+      // lineage, the fetch stage itself) reads the columnar file back.
       val parallelism = spark.sparkContext.defaultParallelism
-      val fetchInput = scheduled.repartition(parallelism, col("host_hash"), col("salt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val wavePath = s"$workDir/waves/w$wave/schedule"
+      scheduled.repartition(parallelism, col("host_hash"), col("salt"))
+        .withColumn("wave", lit(wave))
+        .withColumn("partition_id", spark_partition_id())
+        .write.mode("overwrite").parquet(wavePath)
+      val fetchInput = spark.read.parquet(wavePath)
 
-      val waveLineageBase = fetchInput.groupBy(spark_partition_id().as("partition_id"))
+      val waveLineageBase = fetchInput.groupBy(col("partition_id"))
         .agg(count(lit(1)).as("fetched"))
 
       // 6. fetch = deterministic synthetic expansion (typed transform)
@@ -157,59 +210,61 @@ object Crawl {
         .as[SyntheticWeb.Req]
         .flatMap { req =>
           val (post, links0) = SyntheticWeb.expand(req, scale, limit, rev)
-          // pagination probe: from page 1, schedule ALL remaining pages
-          val links =
-            if (probe && req.kind == "list" && req.page == 1) {
-              val nexts = links0.filter(_.kind == "list").flatMap { next =>
-                val site = SyntheticWeb.siteById(req.site_id)
-                val total0 = Sites.postCount(site, scale)
-                val visible = if (rev >= 1) total0 else total0 - total0 / 23
-                val wanted = math.min(visible, limit)
-                val lastPage = ((wanted + site.page_size - 1) / site.page_size).toInt
-                (next.page to lastPage).map(p =>
-                  SyntheticWeb.Req(SyntheticWeb.listUrl(site, p), site.site_id, "list", p, 0,
-                    next.depth))
-              }
-              links0.filter(_.kind == "post") ++ nexts
-            } else links0
+          // with the static pagination fan-out, list pages were all seeded
+          // at wave 0 — drop the rediscovered next-page links (they are in
+          // the seen set anyway; this just avoids scheduling work)
+          val links = if (probe) links0.filter(_.kind != "list") else links0
           (post.map(p => ExpandRow(Some(p), None)) ++
             links.map(l => ExpandRow(None, Some(l)))).iterator
         }
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
+      // Only the (small) discovered-link frontier is cached; the wave's
+      // documents stay LAZY views over the persisted fetchInput — caching
+      // a million Post rows per wave is pure GC pressure, and downstream
+      // consumers (merge, snapshots) recompute the cheap expand from the
+      // persisted inputs instead.
       val wavePosts = expanded.filter(_.post.isDefined).map(_.post.get).toDF()
       val nextFrontier = expanded.filter(_.link.isDefined).map(_.link.get).toDF()
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // 7. state updates + lineage
-      val scheduledCount = keyed.count()
-      val freshCount = fetchInput.count()
+      // 7. state updates + lineage: the parquet footer makes the fresh
+      // count near-free; the frontier count drives the full expand (the
+      // fetch happens HERE) while caching only the (small) links
+      val scheduledCount = frontierCount
+      val freshCount = tick("staged.count", wave)(fetchInput.count())
+      frontierCount = tick("expand+links.count", wave)(nextFrontier.count())
       val waveLineage = waveLineageBase
         .withColumn("wave", lit(wave))
         .withColumn("scheduled", lit(scheduledCount))
         .withColumn("deduped", lit(scheduledCount - freshCount))
         .select("wave", "partition_id", "scheduled", "deduped", "fetched")
 
-      schedule = schedule.unionByName(
-        scheduled.withColumn("wave", lit(wave)).select(
-          "wave", "host", "url", "canonical", "url_hash", "site_id", "page", "row",
-          "depth", "ready_ms", "crawl_delay_ms"))
-      val newSeen = fetchInput.select(col("url_hash"), lit(wave).as("first_wave"))
-      val prevSeen = seen
-      seen = prevSeen.unionByName(newSeen).persist(StorageLevel.MEMORY_AND_DISK)
-      seenCount = seen.count()
-      posts = if (posts.isEmpty) wavePosts else posts.unionByName(wavePosts)
-      lineage = lineage.unionByName(waveLineage)
+      // schedule part re-reads the staged parquet (no recompute)
+      scheduleParts += fetchInput.select(
+        "wave", "host", "url", "canonical", "url_hash", "site_id", "page", "row",
+        "depth", "ready_ms", "crawl_delay_ms")
+      seenParts += fetchInput.select(col("url_hash"), col("wave").as("first_wave"))
+      seenCount += freshCount // fresh rows are disjoint from seen by construction
+      postParts += wavePosts
+      lineageParts += waveLineage
 
       cfg.snapshotDir.foreach { dir =>
         Snapshots.write(spark, dir, wave, Map(
-          "posts" -> posts, "seen" -> seen, "frontier" -> nextFrontier,
-          "schedule" -> schedule, "lineage" -> lineage), cfg)
+          "posts" -> postParts.reduce(_ unionByName _),
+          "seen" -> seenAll,
+          "frontier" -> nextFrontier,
+          "schedule" -> scheduleParts.reduce(_ unionByName _),
+          "lineage" -> lineageParts.reduce(_ unionByName _)), cfg)
       }
 
       frontier = nextFrontier
       wave += 1
     }
 
-    Result(posts, seen, schedule, lineage)
+    Result(
+      postParts.reduce(_ unionByName _),
+      seenAll,
+      scheduleParts.reduce(_ unionByName _),
+      lineageParts.reduce(_ unionByName _))
   }
 }

@@ -105,16 +105,21 @@ object Dedup {
   private def mix(h: Column, seed: Int): Column = xxhash64(h, lit(seed))
 
   /**
-   * MinHash signature: for each of `numHashes` seeded mixers, the minimum
-   * over the document's shingle hashes. Pure column arithmetic — the whole
-   * signature computation stays inside whole-stage codegen.
+   * MinHash signature over a PRE-COMPUTED shingle-hash array column: for
+   * each of `numHashes` seeded mixers, the minimum over the document's
+   * shingle hashes. Takes the hash array as input (not the text) so the
+   * expensive shingling is computed once, not once per mixer — feeding the
+   * text directly would inline the shingle expression `numHashes` times
+   * and blow up codegen.
    */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val base = transform(shingles(text, n), s => xxhash64(s))
+  def minhashSignatureFromHashes(shingleHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(base, h => mix(h, i)))
+      array_min(transform(shingleHashes, h => mix(h, i)))
     }: _*)
-  }
+
+  /** Shingle-hash array for [[minhashSignatureFromHashes]]. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
 
   /**
    * MinHash + LSH candidate generation and verification:
@@ -128,8 +133,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    // two projections with a no-inline barrier between shingling and the
+    // per-mixer folds (CollapseProject would otherwise duplicate the
+    // shingle computation numHashes times)
+    val hashed = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("_shh")).cache()
+    val sig = hashed.select(col("id"),
+      minhashSignatureFromHashes(col("_shh"), numHashes).as("sig"))
     val bands = sig.select(col("id"), posexplode(
       array((0 until numBands).map { b =>
         xxhash64(concat_ws(",",
