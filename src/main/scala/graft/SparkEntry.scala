@@ -301,7 +301,48 @@ object SparkEntry {
       val run1 = graft.crawl.Pipeline.runDaemon(s, crawlCfg.copy(rev = 1),
         run0.cache, Timestamp.valueOf("2026-01-16 00:00:00"), topK = 30)
       run1.events.groupBy("event").agg(count(lit(1)).as("n"))
-    }
+    },
+
+    // ---- JSON-API envelope parse (S6): synthesize a startup-style body
+    // per order, parse via from_json, flatten ----
+    "q39_json_envelope" -> { (s, dir) =>
+      val body = concat(
+        lit("""{"code":"0","message":"ok","data":{"content":{"list":[{"seq":"""),
+        col("o_orderkey"),
+        lit(""","title":"T"""), col("o_orderstatus"),
+        lit("""","contents":"<p>c</p>","noticeYn":""""),
+        when(col("o_orderkey") % 2 === 0, lit("Y")).otherwise(lit("N")),
+        lit("""","regDt":""""), date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"),
+        lit(""""}]}}}"""))
+      val env = t(s, dir, "orders")
+        .select(lit("startup.ssu.ac.kr").as("site_id"), body.as("body"))
+      graft.sources.JsonApis.parseStartup(env, "https://startup.ssu.ac.kr/board/notice")
+        .select("id", "title", "is_announcement", "created_at")
+    },
+
+    // ---- lz-string UTF-16 transport round-trip (S7) ----
+    "q40_lz_roundtrip" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), GraftFunctions.lz_decompress_utf16(
+        GraftFunctions.lz_compress_utf16(col("text"))).as("rt_text"))),
+
+    // ---- HTML extraction kernels over synthesized fragments ----
+    "q41_html_extract" -> { (s, dir) =>
+      val html = concat(
+        lit("""<div class="post"><h1 class="tit">Doc """), col("doc_id"),
+        lit("""</h1><a href="/view?idx="""), col("doc_id"),
+        lit("""">link</a><p>"""), col("text"), lit("</p></div>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        GraftFunctions.html_text(html, lit("h1.tit")).as("title"),
+        GraftFunctions.html_attr(html, lit("a"), lit("href")).as("href"),
+        GraftFunctions.html_text(html, lit("div.post > p")).as("body"))
+    },
+
+    // ---- multimodal binary columns: typed metadata (decode is stubbed;
+    // feature extraction itself is covered in MultimodalSpec) ----
+    "q42_multimodal_meta" -> ((s, dir) =>
+      graft.operators.Multimodal.synthesizeMedia(t(s, dir, "documents")).toDF()
+        .select(col("doc_id"), col("meta.kind").as("kind"),
+          length(col("bytes")).as("n_bytes"), col("media_ref")))
   )
 
   /** Daemon-production-shaped crawl config (limit 30, daemon.yml:26-29). */
@@ -559,6 +600,31 @@ object SparkEntry {
         |  round(CASE WHEN len(t) > 0 THEN list_aggregate(list_transform(t, x -> len(x)), 'sum')
         |    * 1.0 / len(t) ELSE 0.0 END, 6) AS mean_word_len
         |FROM base""".stripMargin,
+
+    "q39_json_envelope" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |       'T' || o_orderstatus AS title,
+        |       o_orderkey % 2 = 0 AS is_announcement,
+        |       strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')
+        |         - INTERVAL 9 HOUR AS created_at
+        |FROM orders""".stripMargin,
+
+    "q40_lz_roundtrip" ->
+      """SELECT doc_id, text AS rt_text FROM documents""".stripMargin,
+
+    "q41_html_extract" ->
+      """SELECT doc_id,
+        |       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |       '/view?idx=' || CAST(doc_id AS VARCHAR) AS href,
+        |       text AS body
+        |FROM documents""".stripMargin,
+
+    "q42_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |       'media://' || source || '/' || CAST(doc_id AS VARCHAR) AS media_ref
+        |FROM documents""".stripMargin,
 
     "q33_langid" ->
       """WITH base AS (SELECT doc_id,

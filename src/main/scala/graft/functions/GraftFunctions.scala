@@ -33,7 +33,20 @@ object Kernels {
   def mimeGuess(x: UTF8String): UTF8String = u(TextKernel.mimeGuess(s(x)))
   def descFallback(x: UTF8String): UTF8String = u(TextKernel.descriptionFallback(s(x)))
   def lzDecompressUtf16(x: UTF8String): UTF8String = u(LzString.decompressFromUtf16(s(x)))
+  def lzCompressUtf16(x: UTF8String): UTF8String = u(LzString.compressToUtf16(s(x)))
   def lexicalToHtml(x: UTF8String): UTF8String = u(Lexical.render(s(x)))
+
+  /** First-match text for a CSS selector over an HTML fragment. */
+  def htmlText(html: UTF8String, sel: UTF8String): UTF8String =
+    if (html == null || sel == null) null
+    else u(graft.parse.Html.parse(html.toString).selectFirst(sel.toString)
+      .map(_.text).orNull)
+
+  /** First-match attribute value for a CSS selector over an HTML fragment. */
+  def htmlAttr(html: UTF8String, sel: UTF8String, attr: UTF8String): UTF8String =
+    if (html == null || sel == null || attr == null) null
+    else u(graft.parse.Html.parse(html.toString).selectFirst(sel.toString)
+      .flatMap(_.attr(attr.toString)).orNull)
 
   /** FNV-1a 64-bit over UTF-8 bytes — deterministic token hash for simhash. */
   private def fnv64(t: String): Long = {
@@ -110,7 +123,14 @@ object GraftFunctions {
   def mime_guess(c: Column): Column = invoke1("mimeGuess", c)
   def desc_fallback(c: Column): Column = invoke1("descFallback", c)
   def lz_decompress_utf16(c: Column): Column = invoke1("lzDecompressUtf16", c)
+  def lz_compress_utf16(c: Column): Column = invoke1("lzCompressUtf16", c)
   def lexical_to_html(c: Column): Column = invoke1("lexicalToHtml", c)
+  def html_text(html: Column, selector: Column): Column = invoke2("htmlText", html, selector)
+  def html_attr(html: Column, selector: Column, attr: Column): Column = ColumnBridge.column(
+    StaticInvoke(K, StringType, "htmlAttr",
+      Seq(ColumnBridge.expression(html), ColumnBridge.expression(selector),
+        ColumnBridge.expression(attr)),
+      inputTypes = Seq(StringType, StringType, StringType)))
   /** 64-bit SimHash of a text column (token-level, FNV-1a votes). */
   def simhash64(c: Column): Column = ColumnBridge.column(
     StaticInvoke(K, org.apache.spark.sql.types.LongType, "simhash64",
