@@ -56,7 +56,8 @@ object Crawl {
       numSalts: Int = 8,
       probePagination: Boolean = true,
       maxWaves: Int = 64,
-      snapshotDir: Option[String] = None)
+      snapshotDir: Option[String] = None,
+      seenSketch: String = "bloom") // "bloom" | "cuckoo"
 
   final case class Result(
       posts: DataFrame,    // fetched documents (Post schema)
@@ -171,8 +172,8 @@ object Crawl {
         .filter(col("_rn") === 1).drop("_rn")
 
       // 3. seen-set filter (bloom + exact anti-join)
-      val fresh = tick("bloom+filterNew(build)", wave)(
-        SeenSet.filterNew(inWave, seenAll, "url_hash", seenCount))
+      val fresh = tick("sketch+filterNew(build)", wave)(
+        SeenSet.filterNew(inWave, seenAll, "url_hash", seenCount, cfg.seenSketch))
 
       // 4. politeness: per-host virtual clock from robots crawl-delay
       val wHost = Window.partitionBy("host")

@@ -42,17 +42,32 @@ object SeenSet {
         ColumnBridge.expression(hash)))
   }
 
+  /** Build a serialized cuckoo filter of the seen hashes (the deletable
+    * alternative sketch — custom TypedImperativeAggregate). */
+  def buildCuckoo(seen: DataFrame, hashCol: String, expectedItems: Long): Array[Byte] =
+    seen.agg(graft.functions.CuckooFunctions
+      .cuckoo_filter_agg(col(hashCol), math.max(expectedItems, 16L)).as("f"))
+      .collect()(0).getAs[Array[Byte]]("f")
+
   /**
    * New-URL filter: rows of `wave` whose `hashCol` is NOT in `seen`.
-   * Bloom-negative rows skip the join entirely; bloom-positive rows are
-   * verified with an exact left-anti join.
+   * Sketch-negative rows skip the join entirely; sketch-positive rows are
+   * verified with an exact left-anti join. `sketch` selects the
+   * approximate layer: "bloom" (built-in sketch) or "cuckoo" (custom
+   * aggregate, supports deletion for URL retirement).
    */
   def filterNew(wave: DataFrame, seen: DataFrame, hashCol: String,
-      seenCount: Long): DataFrame = {
+      seenCount: Long, sketch: String = "bloom"): DataFrame = {
     if (seenCount == 0L) return wave
-    val bloom = buildBloom(seen, hashCol, seenCount)
-    val maybe = wave.filter(mightContain(bloom, col(hashCol)))
+    val probe: Column = sketch match {
+      case "cuckoo" =>
+        val f = buildCuckoo(seen, hashCol, seenCount)
+        graft.functions.CuckooFunctions.cuckoo_might_contain(lit(f), col(hashCol))
+      case _ =>
+        mightContain(buildBloom(seen, hashCol, seenCount), col(hashCol))
+    }
+    val maybe = wave.filter(probe)
       .join(seen.select(hashCol), Seq(hashCol), "left_anti")
-    wave.filter(!mightContain(bloom, col(hashCol))).unionByName(maybe)
+    wave.filter(!probe).unionByName(maybe)
   }
 }

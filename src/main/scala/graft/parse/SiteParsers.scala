@@ -176,6 +176,61 @@ object SiteParsers {
     }
   }
 
+  // ---- chemeng fallbacks (P6) --------------------------------------------------
+
+  /**
+   * 공지 pseudo-id synthesis when `idx` is missing
+   * (plugins/chemeng/src/lib.rs:146-247): `notice_{date}_{title[..10]}`
+   * — title truncated at 10 CHARS (codepoint-safe).
+   */
+  def chemengPseudoId(dateStr: String, title: String): String = {
+    val cps = title.codePoints().toArray
+    val head = new String(cps, 0, math.min(10, cps.length))
+    s"notice_${dateStr}_$head"
+  }
+
+  /** Body-text total-pages probe: `페이지정보 : X / Y` (lib.rs:341-372). */
+  def chemengTotalPages(bodyText: String): Option[Int] =
+    "페이지정보\\s*:\\s*\\d+\\s*/\\s*(\\d+)".r.findFirstMatchIn(bodyText)
+      .map(_.group(1).toInt)
+
+  // ---- ssudorm positional rows (P9) ---------------------------------------------
+
+  /**
+   * Row id packed in an href like `javascript:view('B0001','1234','x')`
+   * — split on quote/comma, take the length-2.. numeric token
+   * (plugins/ssudorm/src/lib.rs:137-201). Rows: skip(2) positional walk;
+   * detail labels `작성자:` / `등록일:` split.
+   */
+  def ssudormRowId(href: String): Option[String] =
+    href.split("['，,]").map(_.trim).filter(t => t.nonEmpty && t.forall(_.isDigit))
+      .sortBy(-_.length).headOption
+
+  /** `작성자: kim` / `등록일: 2024-03-22 12:00` label splits (lib.rs:244-266). */
+  def labeledValue(text: String, label: String): Option[String] = {
+    val idx = text.indexOf(label)
+    if (idx < 0) None
+    else Some(text.substring(idx + label.length).trim.takeWhile(_ != '\n').trim)
+      .filter(_.nonEmpty)
+  }
+
+  // ---- wordpress card-layout variant (mgmt — P3) ---------------------------------
+
+  /**
+   * Card list (plugins/common/src/sites/mgmt.rs:49-107): `div.card_cont >
+   * a` cards; class-based notice flag on `.board_tit`; date in
+   * `.etc_info .date .date_val`.
+   */
+  def wordpressCardRow(card: Html.Node): Option[WpListRow] = {
+    for {
+      a <- card.selectFirst("a").orElse(Some(card)).filter(_.attr("href").isDefined)
+      url <- a.attr("href")
+      titleEl <- card.selectFirst(".board_tit")
+      date <- card.selectFirst(".etc_info .date .date_val").map(_.text)
+        .flatMap(parseWordpressDate)
+    } yield WpListRow(titleEl.classes.contains("notice"), titleEl.text, url, date)
+  }
+
   // ---- ee dual-format dates (P8) ---------------------------------------------
 
   /** `Y-M-D H:M:S` else `Y.M.D` midnight (plugins/ee lib.rs:97-111). */

@@ -93,6 +93,12 @@ class CrawlSpec extends SparkSuite {
     assert(upd === events("post_updated"))
   }
 
+  test("cuckoo seen-sketch produces the identical crawl (bloom/cuckoo interchangeable)") {
+    val cuckoo = Crawl.run(spark, cfg.copy(seenSketch = "cuckoo"))
+    assert(orderKey(cuckoo.schedule) === orderKey(schedule1))
+    assert(cuckoo.seen.count() === run1.seen.count())
+  }
+
   test("snapshot kill-and-resume reproduces the uninterrupted crawl exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
     // "killed" run: stops after wave 0, snapshot v0 persisted

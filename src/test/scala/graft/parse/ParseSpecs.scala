@@ -145,6 +145,32 @@ class SiteParsersSpec extends AnyFunSuite {
     assert(parseEeDate("2024.03.22").get === Timestamp.valueOf("2024-03-21 15:00:00"))
   }
 
+  test("chemeng pseudo-id + total-pages probe (lib.rs:146-247,341-372)") {
+    assert(chemengPseudoId("2024-03-22", "공지사항입니다만이건너무길어요") === "notice_2024-03-22_공지사항입니다만이건")
+    assert(chemengPseudoId("2024-03-22", "짧음") === "notice_2024-03-22_짧음")
+    assert(chemengTotalPages("본문 ... 페이지정보 : 3 / 17 ...") === Some(17))
+    assert(chemengTotalPages("no pages here").isEmpty)
+  }
+
+  test("ssudorm row id from packed href + labeled values (lib.rs:137-266)") {
+    assert(ssudormRowId("javascript:goView('B0001','1234','etc')") === Some("1234"))
+    assert(ssudormRowId("javascript:x('abc')").isEmpty)
+    assert(labeledValue("작성자: 관리자\n등록일: 2024-03-22 12:00", "작성자:") === Some("관리자"))
+    assert(labeledValue("등록일: 2024-03-22 12:00", "등록일:") === Some("2024-03-22 12:00"))
+  }
+
+  test("wordpress card-layout row (mgmt.rs:49-107)") {
+    val card = Html.parse(
+      """<div class="card_cont"><a href="https://m/?slug=x">
+        |<span class="board_tit notice">공지 제목</span>
+        |<div class="etc_info"><span class="date"><span class="date_val">2024-03-22</span></span></div>
+        |</a></div>""".stripMargin)
+    val row = wordpressCardRow(card.selectFirst(".card_cont").get).get
+    assert(row.isAnnouncement)
+    assert(row.title === "공지 제목")
+    assert(row.createdAt === java.sql.Timestamp.valueOf("2024-03-21 15:00:00"))
+  }
+
   test("EUC-KR decode (ssudorm lib.rs:102-104)") {
     val bytes = "기숙사 공지".getBytes(java.nio.charset.Charset.forName("EUC-KR"))
     assert(decodeEucKr(bytes) === "기숙사 공지")
