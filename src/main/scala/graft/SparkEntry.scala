@@ -342,7 +342,24 @@ object SparkEntry {
     "q42_multimodal_meta" -> ((s, dir) =>
       graft.operators.Multimodal.synthesizeMedia(t(s, dir, "documents")).toDF()
         .select(col("doc_id"), col("meta.kind").as("kind"),
-          length(col("bytes")).as("n_bytes"), col("media_ref")))
+          length(col("bytes")).as("n_bytes"), col("media_ref"))),
+
+    // ---- interleaved span decomposition of CRAWLED posts (the input_hint
+    // invariant on the engine's own output; asserted in PostSpansSpec) ----
+    "q43_post_spans" -> ((s, _) =>
+      Spans.postsToSpanRows(graft.crawl.Crawl.run(s, crawlCfg).posts)
+        .groupBy("kind").agg(count(lit(1)).as("n_spans"),
+          countDistinct(col("doc_id")).as("n_docs"))),
+
+    // ---- calendar path: replace-in-range + ICS render (K3/M3/M4) ----
+    "q44_calendar" -> { (s, _) =>
+      import s.implicits._
+      val crawl = graft.crawl.Crawl.run(s, crawlCfg)
+      val out = graft.crawl.Pipeline.runCalendar(s, crawl.posts,
+        s.emptyDataset[graft.model.CalendarEvent].toDF(),
+        Timestamp.valueOf("2026-01-01 00:00:00"), Timestamp.valueOf("2026-12-31 23:59:59"))
+      out.events.select("id", "title", "starts_at")
+    }
   )
 
   /** Daemon-production-shaped crawl config (limit 30, daemon.yml:26-29). */

@@ -65,12 +65,13 @@ object Crawl {
       schedule: DataFrame, // the crawl-order artifact
       lineage: DataFrame)  // per (wave, partition) lineage rows
 
-  /** robots.txt fixture: crawl-delay per host (max over co-hosted sites). */
+  /** robots rules per host (parsed from the synthetic robots.txt bodies):
+    * crawl-delay feeds the politeness clock; Disallow prefixes filter the
+    * frontier. Co-hosted sites share one bucket (max delay wins). */
   def robots(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Sites.all.groupBy(_.host).map { case (h, ss) =>
-      (h, ss.map(_.crawl_delay_ms).max)
-    }.toSeq.toDF("host", "crawl_delay_ms")
+    Robots.fleetRules.map(r => (r.host, r.crawl_delay_ms, r.disallow))
+      .toDF("host", "crawl_delay_ms", "disallow")
   }
 
   def seeds(spark: SparkSession, cfg: Config): Dataset[SyntheticWeb.Req] = {
@@ -159,11 +160,17 @@ object Crawl {
     }
 
     while (wave < cfg.maxWaves && frontierCount > 0) {
-      // 1. canonicalize + hash (codegen'd kernels)
+      // 1. canonicalize + hash (codegen'd kernels), join robots rules
+      //    (broadcast) and enforce Disallow BEFORE any scheduling work
       val keyed = frontier
         .withColumn("canonical", GraftFunctions.url_canonicalize(col("url")))
         .withColumn("url_hash", xxhash64(col("canonical")))
         .withColumn("host", GraftFunctions.url_host(col("url")))
+        .join(robotsDf, Seq("host"), "left")
+        .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(300)))
+        .filter(coalesce(!exists(col("disallow"),
+          d => GraftFunctions.url_path(col("url")).startsWith(d)), lit(true)))
+        .drop("disallow")
 
       // 2. in-wave dedup: keep the breadth-smallest order key per url_hash
       val wDedup = Window.partitionBy("url_hash")
@@ -175,11 +182,11 @@ object Crawl {
       val fresh = tick("sketch+filterNew(build)", wave)(
         SeenSet.filterNew(inWave, seenAll, "url_hash", seenCount, cfg.seenSketch))
 
-      // 4. politeness: per-host virtual clock from robots crawl-delay
+      // 4. politeness: per-host virtual clock from the robots crawl-delay
+      //    (already joined at step 1)
       val wHost = Window.partitionBy("host")
         .orderBy(col("depth"), col("site_id"), col("page"), col("row"))
-      val scheduled = fresh.join(robotsDf, Seq("host"), "left")
-        .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(300)))
+      val scheduled = fresh
         .withColumn("ready_ms",
           (row_number().over(wHost) - 1).cast("long") * col("crawl_delay_ms"))
         .withColumn("host_hash", xxhash64(col("host")))

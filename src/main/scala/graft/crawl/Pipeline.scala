@@ -61,4 +61,39 @@ object Pipeline {
     import spark.implicits._
     spark.emptyDataset[graft.model.Post].toDF().withColumn("rank", lit(0L))
   }
+
+  final case class CalendarOutput(events: DataFrame, cache: DataFrame, ics: String)
+
+  /**
+   * Calendar daemon path (reference run_calendar, core/mod.rs:219-267):
+   * the calendar site's crawled posts become events, the cache is merged
+   * replace-in-range, the in-range output renders to one ICS document.
+   */
+  def runCalendar(
+      spark: SparkSession,
+      crawledPosts: DataFrame,
+      cache: DataFrame,
+      start: java.sql.Timestamp,
+      end: java.sql.Timestamp): CalendarOutput = {
+    import spark.implicits._
+    val events = crawledPosts
+      .filter(col("site_id") === "ssu-academic-calendar")
+      .select(
+        col("id"), col("title"),
+        lit(null).cast("string").as("description"),
+        col("created_at").as("starts_at"),
+        lit(null).cast("timestamp").as("ends_at"),
+        lit(null).cast("string").as("location"),
+        col("url"))
+      // stable reference-style event id (M7)
+      .withColumn("id", concat(lit("ssu-academic-calendar:"),
+        date_format(col("starts_at"), "yyyy-MM-dd"), lit(":_:"),
+        graft.functions.GraftFunctions.slugify(col("title"))))
+    val merged = graft.operators.Merge.mergeCalendarReplaceInRange(cache, events, start, end)
+    val output = graft.operators.Merge.calendarInRange(merged, start, end)
+    val items = output.as[graft.model.CalendarEvent].collect().toSeq
+    val ics = graft.sinks.Ics.toIcs(
+      "SSU Academic Calendar", "https://scatch.ssu.ac.kr/학사일정", "학사일정", items)
+    CalendarOutput(output, merged, ics)
+  }
 }

@@ -156,7 +156,14 @@ object SyntheticWeb {
               Seq(Req(listUrl(site, req.page + 1), site.site_id, "list",
                 req.page + 1, 0, req.depth))
             else Seq.empty
-          (None, posts ++ next)
+          // every 5th page links a robots-disallowed trap (the frontier's
+          // Disallow filter must drop these before scheduling)
+          val traps =
+            if (req.page % 5 == 0)
+              Seq(Req(s"https://${site.host}/private/trap?id=${req.page}",
+                site.site_id, "post", req.page, site.page_size, req.depth + 1))
+            else Seq.empty
+          (None, posts ++ traps ++ next)
         }
       case "post" =>
         val n = parsePostId(req.url, site)
@@ -175,6 +182,8 @@ object SyntheticWeb {
       val q = m - pos            // 1-indexed rank from the bottom
       q + (q - 1) / 22
     }
+
+  def isTrap(url: String): Boolean = url.contains("/private/")
 
   /** Inverse of [[postUrl]] — recover the post id from a discovered URL. */
   def parsePostId(url: String, site: Site): Long = site.family match {

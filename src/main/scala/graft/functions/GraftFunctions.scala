@@ -21,6 +21,7 @@ object Kernels {
 
   def urlCanonicalize(x: UTF8String): UTF8String = u(UrlKernel.canonicalize(s(x)))
   def urlHost(x: UTF8String): UTF8String = u(UrlKernel.host(s(x)))
+  def urlPath(x: UTF8String): UTF8String = u(UrlKernel.path(s(x)))
   def urlResolve(b: UTF8String, r: UTF8String): UTF8String = u(UrlKernel.resolve(s(b), s(r)))
   def urlQueryParam(x: UTF8String, k: UTF8String): UTF8String = u(UrlKernel.queryParam(s(x), s(k)))
 
@@ -109,6 +110,7 @@ object GraftFunctions {
 
   def url_canonicalize(c: Column): Column = invoke1("urlCanonicalize", c)
   def url_host(c: Column): Column = invoke1("urlHost", c)
+  def url_path(c: Column): Column = invoke1("urlPath", c)
   def url_resolve(base: Column, ref: Column): Column = invoke2("urlResolve", base, ref)
   def url_query_param(c: Column, key: Column): Column = invoke2("urlQueryParam", c, key)
   /** 64-bit identity of a URL in the seen-set: xxhash64 of the canonical form. */
@@ -152,6 +154,7 @@ object GraftFunctions {
 
     reg1("url_canonicalize", "urlCanonicalize")
     reg1("url_host", "urlHost")
+    reg1("url_path", "urlPath")
     reg2("url_resolve", "urlResolve")
     reg2("url_query_param", "urlQueryParam")
     reg1("graft_slugify", "slugify")

@@ -141,6 +141,12 @@ object UrlKernel {
     Parts(scheme, authority, path, query, null).render(withFragment = false)
   }
 
+  /** Path component of a URL ("" when absent). */
+  def path(url: String): String = {
+    if (url == null) return null
+    parse(url.trim).path
+  }
+
   /** Host of a URL (lowercased), or null when there is no authority. */
   def host(url: String): String = {
     if (url == null) return null

@@ -57,6 +57,40 @@ object Spans {
       .select(col("doc_id"), col("span.kind").as("kind"), col("span.text").as("text"),
         col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))
 
+  /**
+   * Decompose crawled posts into the interleaved span table — the
+   * input_hint invariant applied to the reference's real payload shape
+   * (§1.2): post `content` HTML interleaves text runs and <img> nodes
+   * (gnuboard mod.rs:174-184); `attachments` are trailing media refs
+   * (mod.rs:186-195). Span order: content children in document order,
+   * then attachment spans. kind ∈ {text, image, attachment}.
+   */
+  def postsToSpanRows(posts: DataFrame): DataFrame = {
+    val spark = posts.sparkSession
+    import spark.implicits._
+    posts.select("site_id", "id", "content", "attachments").as[
+      (String, String, String, Seq[graft.model.Attachment])]
+      .flatMap { case (site, id, content, attachments) =>
+        val docId = s"$site#$id"
+        val doc = graft.parse.Html.parse(content)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[graft.model.Span]
+        def walk(n: graft.parse.Html.Node): Unit = {
+          if (n.isText) {
+            val t = graft.functions.TextKernel.normalizeWs(n.textContent)
+            if (t.nonEmpty) buf += graft.model.Span("text", t, null, buf.size)
+          } else if (n.tag == "img") {
+            n.attr("src").foreach(src =>
+              buf += graft.model.Span("image", null, src, buf.size))
+          } else n.children.foreach(walk)
+        }
+        walk(doc)
+        attachments.foreach(a =>
+          buf += graft.model.Span("attachment", a.name.orNull, a.url, buf.size))
+        buf.map(s => (docId, s.kind, s.text, s.media_ref, s.offset))
+      }
+      .toDF("doc_id", "kind", "text", "media_ref", "offset")
+  }
+
   /** Reassemble the text payload of each doc from its text spans. */
   def reassembleText(spanRows: DataFrame): DataFrame =
     spanRows.filter(col("kind") === "text")
