@@ -98,13 +98,15 @@ object Bench {
       }
 
     // ---- phase 2: frontier scaling N vs 4N ----
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     // best-of-N: the sandbox VM is noisy (GC + host jitter); the minimum
     // is the stable estimate of what the configuration can do
-    def atParallelism(cpus: Int): (Double, (Long, Long, Long, Long), Long) = {
+    def atParallelism(cpus: Int): ((Double, (Long, Long, Long, Long), Long), Seq[Double]) = {
       val s = session(cpus)
       try {
-        crawlOnce(s, scale = 2000, limit = 1000) // JIT/codegen warmup
+        // JIT/codegen warmup at a scale big enough that AQE picks the
+        // same plan shapes (and compiles the same codegen) as the real run
+        crawlOnce(s, scale = 30000, limit = 10000)
         val runs = (1 to repeats).map { i =>
           s.catalog.clearCache() // free prior persists before timing
           System.gc()
@@ -114,11 +116,12 @@ object Bench {
         }
         val fps = runs.map(_._2).distinct
         require(fps.size == 1, s"nondeterministic crawl at local[$cpus]: $fps")
-        runs.minBy(_._1)
+        (runs.minBy(_._1), runs.map(_._1).toSeq)
       } finally s.stop()
     }
-    val (secsLow, fpLow, urlsLow) = atParallelism(cpusLow)
-    val (secsHigh, fpHigh, urlsHigh) = atParallelism(cpusHigh)
+    val ((secsLow, fpLow, urlsLow), runsLowAll) = atParallelism(cpusLow)
+    val ((secsHigh, fpHigh, urlsHigh), runsHighAll) = atParallelism(cpusHigh)
+
     val thrLow = urlsLow / secsLow
     val thrHigh = urlsHigh / secsHigh
     val efficiency = (thrHigh / thrLow) / (cpusHigh.toDouble / cpusLow)
@@ -131,6 +134,8 @@ object Bench {
         f""""cpus_low":$cpusLow,"secs_low":$secsLow%.2f,"urls_per_sec_low":$thrLow%.0f,""" +
         f""""cpus_high":$cpusHigh,"secs_high":$secsHigh%.2f,"urls_per_sec_high":$thrHigh%.0f,""" +
         f""""scaling_efficiency":$efficiency%.3f,"identical_output":$identical,""" +
+        s""""runs_low_sec":${runsLowAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
+        s""""runs_high_sec":${runsHighAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
         f""""seen_rows":${fpHigh._4}}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":$frontier}""")
