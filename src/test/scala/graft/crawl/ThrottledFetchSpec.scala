@@ -1,0 +1,34 @@
+package graft.crawl
+
+import graft.SparkSuite
+
+class ThrottledFetchSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("token bucket paces same-host fetches; hosts interleave; session init once per task") {
+    val reqs = (1 to 10).map(i => (if (i % 2 == 0) "a.host" else "b.host", i))
+      .toDS().repartition(1) // one lane -> strict per-host pacing observable
+    val out = ThrottledFetch.run[(String, Int), String](
+      reqs,
+      hostOf = _._1,
+      delayMsFor = _ => 20L,
+      fetch = (r, session) => s"${r._2}@$session")
+      .collect()
+
+    // per-host spacing >= delay
+    out.groupBy(_.host).foreach { case (host, rows) =>
+      val times = rows.map(_.startedAtMs).sorted
+      times.sliding(2).foreach {
+        case Array(x, y) => assert(y - x >= 20, s"$host spaced ${y - x}ms < 20ms")
+        case _           =>
+      }
+    }
+    // both hosts progressed concurrently within the lane (interleaved, not serial):
+    // total makespan well under 10 sequential delays
+    val span = out.map(_.startedAtMs).max - out.map(_.startedAtMs).min
+    assert(span < 10 * 20, s"hosts did not interleave: span=${span}ms")
+    // one session per task
+    val sessions = out.map(_.result.split('@')(1)).distinct
+    assert(sessions.length === 1)
+  }
+}
