@@ -36,11 +36,16 @@ import graft.model.Post
  * monotonically_increasing_id, no partition-order dependence — identical
  * output at local[8] and local[32] (asserted in CrawlSpec + Bench).
  *
- * Pagination: wave 0 fetches each site's page 1; the total page count is
- * probed from it (the reference's chemeng total-pages estimation,
- * lib.rs:341-372) and pages 2..P are scheduled in wave 1 — breadth-first,
- * NOT a sequential 2000-wave walk. `probePagination = false` reproduces
+ * Pagination: with `probePagination` (default) the page count per site is
+ * computed up front and ALL list pages are seeded at wave 0 (reference
+ * precedent: ssucatch static fan-out S3, chemeng total-pages probe A3), so
+ * the crawl is exactly two breadth levels — lists, then posts — instead of
+ * a sequential page-chain of waves. `probePagination = false` reproduces
  * the strict sequential walk (gnuboard S1) for small fidelity tests.
+ *
+ * robots.txt: per-host rules are parsed from the synthetic bodies
+ * ([[Robots]]) — Crawl-delay feeds the politeness clock, Disallow filters
+ * the frontier before any scheduling work.
  */
 /** One output row of the fetch stage: a document or a discovered link. */
 final case class ExpandRow(post: Option[Post], link: Option[SyntheticWeb.Req])

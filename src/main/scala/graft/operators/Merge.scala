@@ -165,6 +165,19 @@ object Merge {
     MergeResult(untouched.select(adjusted.columns.map(col): _*).unionByName(adjusted), r.events)
   }
 
+  /**
+   * Persist the cache as a BUCKETED state table (hash-bucketed + sorted on
+   * the merge key): a catalog read of this table arrives already
+   * hash-distributed on (site_id, id), so the cache side of the MERGE join
+   * needs NO Exchange — at a 10^10-row cache that is the difference
+   * between shuffling the whole state every run or only the new batch.
+   */
+  def writeBucketedCache(posts: DataFrame, table: String, buckets: Int): Unit =
+    posts.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "site_id", "id")
+      .sortBy("site_id", "id")
+      .saveAsTable(table)
+
   /** Newest-first top-K per site (reference mod.rs:142-147: `.rev().take(k)`). */
   def topKPerSite(posts: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("site_id").orderBy(col("rank").desc)
