@@ -178,19 +178,27 @@ object Crawl {
         .drop("disallow")
 
       // 2. in-wave dedup: keep the breadth-smallest order key per url_hash.
-      // Hash aggregation (min_by), NOT a sort window: partial aggregation
-      // combines duplicates map-side before the shuffle, and no 10^6-row
-      // sort is paid — at web scale duplicate discovery is the norm
-      // (every page links its neighbors) and map-side combine is the
-      // difference between shuffling the frontier once or k times.
+      // Two strategies (cfg via SPARK_GRAFT_DEDUP, default "minby"):
+      //  - "minby": hash aggregation with map-side combine — wins when
+      //    duplicate discovery is common (the real-web case: every page
+      //    links its neighbors), as dupes collapse before the shuffle;
+      //  - "window": sort-based row_number — wins when URLs are mostly
+      //    unique (the aggregation hash map of full rows is overhead).
       val keyedCols = keyed.columns
-      val inWave = keyed
-        .groupBy("url_hash")
-        .agg(min_by(
-          struct(keyedCols.filter(_ != "url_hash").map(col): _*),
-          struct(col("depth"), col("site_id"), col("page"), col("row"))).as("_r"))
-        .select(col("url_hash") +: keyedCols.filter(_ != "url_hash")
-          .map(c => col(s"_r.$c").as(c)): _*)
+      val dedupStrategy = sys.env.getOrElse("SPARK_GRAFT_DEDUP", "minby")
+      val inWave =
+        if (dedupStrategy == "window") {
+          val wDedup = Window.partitionBy("url_hash")
+            .orderBy(col("depth"), col("site_id"), col("page"), col("row"))
+          keyed.withColumn("_rn", row_number().over(wDedup))
+            .filter(col("_rn") === 1).drop("_rn")
+        } else keyed
+          .groupBy("url_hash")
+          .agg(min_by(
+            struct(keyedCols.filter(_ != "url_hash").map(col): _*),
+            struct(col("depth"), col("site_id"), col("page"), col("row"))).as("_r"))
+          .select(col("url_hash") +: keyedCols.filter(_ != "url_hash")
+            .map(c => col(s"_r.$c").as(c)): _*)
 
       // 3. seen-set filter (bloom + exact anti-join)
       val fresh = tick("sketch+filterNew(build)", wave)(
