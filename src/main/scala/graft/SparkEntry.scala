@@ -277,15 +277,15 @@ object SparkEntry {
     // ---- crawl engine (deterministic synthetic web; no SQL oracle —
     // invariants asserted in graft.crawl.CrawlSpec instead) ----
     "q34_crawl_schedule" -> ((s, _) =>
-      graft.crawl.Crawl.run(s, crawlCfg).schedule
+      cachedCrawl(s, crawlCfg).schedule
         .select("wave", "host", "canonical", "url_hash", "site_id", "page", "row",
           "ready_ms", "crawl_delay_ms")),
 
     "q35_crawl_seen" -> ((s, _) =>
-      graft.crawl.Crawl.run(s, crawlCfg).seen
+      cachedCrawl(s, crawlCfg).seen
         .groupBy("first_wave").agg(count(lit(1)).as("n_urls"))),
 
-    "q36_crawl_lineage" -> ((s, _) => graft.crawl.Crawl.run(s, crawlCfg).lineage),
+    "q36_crawl_lineage" -> ((s, _) => cachedCrawl(s, crawlCfg).lineage),
 
     "q37_pipeline_feeds" -> { (s, _) =>
       val out = graft.crawl.Pipeline.runDaemon(s, crawlCfg,
@@ -347,14 +347,14 @@ object SparkEntry {
     // ---- interleaved span decomposition of CRAWLED posts (the input_hint
     // invariant on the engine's own output; asserted in PostSpansSpec) ----
     "q43_post_spans" -> ((s, _) =>
-      Spans.postsToSpanRows(graft.crawl.Crawl.run(s, crawlCfg).posts)
+      Spans.postsToSpanRows(cachedCrawl(s, crawlCfg).posts)
         .groupBy("kind").agg(count(lit(1)).as("n_spans"),
           countDistinct(col("doc_id")).as("n_docs"))),
 
     // ---- calendar path: replace-in-range + ICS render (K3/M3/M4) ----
     "q44_calendar" -> { (s, _) =>
       import s.implicits._
-      val crawl = graft.crawl.Crawl.run(s, crawlCfg)
+      val crawl = cachedCrawl(s, crawlCfg)
       val out = graft.crawl.Pipeline.runCalendar(s, crawl.posts,
         s.emptyDataset[graft.model.CalendarEvent].toDF(),
         Timestamp.valueOf("2026-01-01 00:00:00"), Timestamp.valueOf("2026-12-31 23:59:59"))
@@ -364,6 +364,14 @@ object SparkEntry {
 
   /** Daemon-production-shaped crawl config (limit 30, daemon.yml:26-29). */
   private val crawlCfg = graft.crawl.Crawl.Config(scale = 100, limitPerSite = 30)
+
+  /** The crawl is deterministic, so queries q34..q44 share one memoized
+    * run per (session, config) instead of re-crawling 8 times in Verify. */
+  private val crawlMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, graft.crawl.Crawl.Config), graft.crawl.Crawl.Result]()
+  private def cachedCrawl(s: SparkSession,
+      cfg: graft.crawl.Crawl.Config): graft.crawl.Crawl.Result =
+    crawlMemo.computeIfAbsent((s, cfg), _ => graft.crawl.Crawl.run(s, cfg))
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. Omitted for q27/q28/q30 (approximate candidate
