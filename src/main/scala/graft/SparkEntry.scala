@@ -351,6 +351,10 @@ object SparkEntry {
         .groupBy("kind").agg(count(lit(1)).as("n_spans"),
           countDistinct(col("doc_id")).as("n_docs"))),
 
+    // ---- embedding-cosine near-dup pairs (exact; LSH variant = q30) ----
+    "q45_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+
     // ---- calendar path: replace-in-range + ICS render (K3/M3/M4) ----
     "q44_calendar" -> { (s, _) =>
       import s.implicits._
@@ -650,6 +654,12 @@ object SparkEntry {
         |       CAST(strlen(text) AS INTEGER) AS n_bytes,
         |       'media://' || source || '/' || CAST(doc_id AS VARCHAR) AS media_ref
         |FROM documents""".stripMargin,
+
+    "q45_embedding_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
 
     "q33_langid" ->
       """WITH base AS (SELECT doc_id,

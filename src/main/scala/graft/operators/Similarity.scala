@@ -50,6 +50,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
   }
 
+  /**
+   * Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+   * cosine >= threshold. Exact all-pairs form (the LSH-bucketed path in
+   * [[lshTopK]] is the sub-linear variant at scale); the self-join
+   * broadcasts the smaller projection side.
+   */
+  def nearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val l = corpus.select(col(idCol).as("a"), col(vecCol).as("_va"))
+    val r = corpus.select(col(idCol).as("b"), col(vecCol).as("_vb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (seed, plane, dim). */
   private def planeComponent(plane: Int, dim: Column, seed: Long): Column = {
     // xxhash64 of (plane, dim, seed) mapped to [-1, 1)

@@ -59,6 +59,27 @@ object ApiDrive {
     catch { case e: Exception => println("ARITY ERROR: " + e.getMessage.take(160)) }
     val noop = Merge.mergeEntries(r.posts, newP.limit(0), java.sql.Timestamp.valueOf("2026-03-02 00:00:00"))
     println("noop events: " + noop.events.count + " rows kept: " + noop.posts.count)
+
+    // 4. Crawl engine end-to-end (deterministic synthetic web)
+    val crawl = graft.crawl.Crawl.run(spark, graft.crawl.Crawl.Config(scale = 100, limitPerSite = 20))
+    println("crawl: posts=" + crawl.posts.count + " seen=" + crawl.seen.count +
+      " waves=" + crawl.lineage.select("wave").distinct.count)
+    crawl.schedule.orderBy("wave", "ready_ms", "host", "site_id", "page", "row")
+      .select("wave", "host", "ready_ms", "url").show(5, false)
+
+    // 5. Cuckoo seen-set sketch
+    val hashes = crawl.seen.select($"url_hash")
+    val cuckooBytes = graft.crawl.SeenSet.buildCuckoo(hashes, "url_hash", 10000)
+    val fp = hashes.withColumn("m",
+      graft.functions.CuckooFunctions.cuckoo_might_contain(lit(cuckooBytes), $"url_hash"))
+      .filter(!$"m").count
+    println("cuckoo false negatives: " + fp + " (must be 0)")
+
+    // 6. Daemon pipeline: merge + top-K + RSS
+    val out = graft.crawl.Pipeline.runDaemon(spark,
+      graft.crawl.Crawl.Config(scale = 100, limitPerSite = 20),
+      graft.crawl.Pipeline.emptyCache(spark), java.sql.Timestamp.valueOf("2026-03-01 00:00:00"), topK = 10)
+    println("pipeline sites with feeds: " + out.rss.count)
     spark.stop()
   }
 }
