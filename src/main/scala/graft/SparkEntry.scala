@@ -355,6 +355,14 @@ object SparkEntry {
     "q45_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
 
+    // ---- DSv2 source with limit/filter pushdown (remote-source shape) ----
+    "q46_dsv2_source" -> ((s, _) =>
+      s.read.format("graft.sources.WebSource")
+        .option("scale", "200").option("limit_per_site", "20").load()
+        .filter(col("site_id").isin("biz.ssu.ac.kr", "scatch.ssu.ac.kr", "infocom.ssu.ac.kr"))
+        .groupBy("site_id").agg(count(lit(1)).as("n_posts"),
+          max(length(col("content"))).as("max_content_len"))),
+
     // ---- calendar path: replace-in-range + ICS render (K3/M3/M4) ----
     "q44_calendar" -> { (s, _) =>
       import s.implicits._
