@@ -63,6 +63,31 @@ object Kernels {
   }
 
   /**
+   * Cosine similarity over two equal-length double arrays in ONE pass with
+   * three accumulators. The accumulation order (left-to-right element fold,
+   * then `sqrt(na) * sqrt(nb)`, then the division) is bit-identical to the
+   * `aggregate(zip_with(...))` column fold it replaces — and therefore to
+   * the DuckDB oracle's `list_cosine_similarity` at 6 dp. One static call
+   * per PAIR instead of three interpreted higher-order folds (each of which
+   * allocated an intermediate array per pair) — this is the hot kernel of
+   * the all-pairs / candidate-verify similarity stages.
+   * Arrays must be null-element-free; the shorter length wins (zip_with
+   * would null-pad, but all callers guarantee equal dims).
+   */
+  def cosineSim(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /**
    * 64-bit SimHash over lowercase whitespace tokens: per-bit vote of each
    * token's FNV-1a hash; sign of the vote decides the output bit.
    */
@@ -138,6 +163,15 @@ object GraftFunctions {
     StaticInvoke(K, org.apache.spark.sql.types.LongType, "simhash64",
       Seq(ColumnBridge.expression(c)), inputTypes = Seq(StringType)))
 
+  /** Cosine similarity over two array<double> columns (codegen'd static
+    * kernel; callers pre-cast float embeddings ONCE, not per pair). */
+  def cosine_sim(a: Column, b: Column): Column = ColumnBridge.column(
+    StaticInvoke(K, org.apache.spark.sql.types.DoubleType, "cosineSim",
+      Seq(ColumnBridge.expression(a), ColumnBridge.expression(b)),
+      inputTypes = Seq(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+
   /** Register all graft functions for SQL use (`SELECT url_canonicalize(u) ...`). */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -171,5 +205,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => StaticInvoke(K,
         org.apache.spark.sql.types.LongType, "simhash64", args.take(1),
         inputTypes = Seq(StringType)), "built-in")
+    registry.createOrReplaceTempFunction("cosine_sim",
+      (args: Seq[Expression]) => StaticInvoke(K,
+        org.apache.spark.sql.types.DoubleType, "cosineSim", args.take(2),
+        inputTypes = Seq(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))),
+      "built-in")
   }
 }

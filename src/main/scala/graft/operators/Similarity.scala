@@ -3,47 +3,60 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /**
- * Approximate-nearest-neighbor search over an embedding column
- * (`array<float>`), for near-dup detection and retrieval in training-data
- * pipelines.
+ * Approximate-nearest-neighbor search and near-duplicate detection over an
+ * embedding column (`array<float>`), for training-data pipelines.
  *
- * Two paths:
+ * Paths:
  *  - [[bruteForceTopK]] — exact cosine top-k. The query side is broadcast;
- *    the corpus streams through one codegen'd projection (zip_with +
- *    aggregate fold), so cost is O(|corpus| * |queries|) FLOPs with NO
- *    shuffle of the corpus. Right answer for |queries| * dim small enough
- *    to broadcast (the usual case: a batch of probe vectors).
- *  - [[lshTopK]] — random-hyperplane LSH: bucket by sign-bit signature
- *    prefix, search only within colliding buckets. Sub-linear at scale;
- *    recall measured against brute force in `SimilaritySpec`.
+ *    the corpus streams through one codegen'd kernel call per pair, so cost
+ *    is O(|corpus| * |queries|) FLOPs with NO shuffle of the corpus.
+ *  - [[nearDupPairs]] — exact all-pairs threshold join as a BLOCK-TILE
+ *    self-join: sub-tasks of bounded size spread evenly over the cluster
+ *    (no broadcast of the corpus, no single nested-loop task). Exact
+ *    low-threshold cosine search is inherently O(n^2 d) FLOPs — the tile
+ *    join makes the n^2 embarrassingly parallel; the FLOPs run in one
+ *    codegen'd kernel call per pair.
+ *  - [[nearDupPairsLsh]] — hyperplane-LSH candidates + exact verify: the
+ *    sub-quadratic path for HIGH thresholds (where the per-bit collision
+ *    probability 1 - theta/pi is large). At low thresholds (e.g. the 0.4
+ *    regime of the q45 fixture, where theta/pi ~ 0.37) LSH needs so many
+ *    tables for high recall that candidates exceed all-pairs — use the
+ *    tile join there. Recall vs the exact path is measured in
+ *    `DedupSimilaritySpec`.
+ *  - [[lshTopK]] — random-hyperplane LSH ANN: bucket by sign-bit signature,
+ *    search only colliding buckets. Sub-linear at scale.
+ *
+ * All cosine evaluations go through [[GraftFunctions.cosine_sim]] — a
+ * single-pass StaticInvoke kernel whose accumulation order is bit-identical
+ * to the `aggregate(zip_with(...))` fold it replaced (DuckDB oracle compat
+ * at 6 dp), ~100x faster per pair (no intermediate array allocation).
+ * Vectors are cast to `array<double>` ONCE at the input projection, never
+ * per pair.
  */
 object Similarity {
 
-  /** Cosine similarity between two array<float/double> columns (index-order fold). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Cosine similarity between two array columns (codegen'd kernel).
+    * Callers should pre-cast float arrays to array<double> once. */
+  def cosine(a: Column, b: Column): Column =
+    GraftFunctions.cosine_sim(a.cast("array<double>"), b.cast("array<double>"))
 
   /**
    * Exact top-k: for each query vector, the k most cosine-similar corpus
    * vectors (excluding self-matches by id). Queries are broadcast — the
-   * join is a BroadcastNestedLoopJoin over a codegen'd cosine projection.
+   * join is a BroadcastNestedLoopJoin over the codegen'd cosine kernel.
    */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+      .withColumn("sim", GraftFunctions.cosine_sim(col("_qv"), col("_cv")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -52,16 +65,69 @@ object Similarity {
 
   /**
    * Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
-   * cosine >= threshold. Exact all-pairs form (the LSH-bucketed path in
-   * [[lshTopK]] is the sub-linear variant at scale); the self-join
-   * broadcasts the smaller projection side.
+   * cosine >= threshold. EXACT, via a block-tile self-join:
+   *
+   *  - every vector gets a hash block in [0, blocks);
+   *  - a pair with blocks (i, j), i <= j, is evaluated in exactly one tile
+   *    (the left role covers tiles (blk, j>=blk), the right role tiles
+   *    (i<=blk, blk); intra-block double-emission is cut by id order);
+   *  - the tile id is the shuffle key: blocks*(blocks+1)/2 evenly-sized
+   *    independent sub-joins, each bounded at ~(n/blocks)^2 pairs and
+   *    2n/blocks input rows — no corpus broadcast, no single giant task,
+   *    shuffle volume n*(blocks+1) rows.
+   *
+   * Pick `blocks` so a tile's input (2n/blocks vectors) fits an executor;
+   * the n^2 FLOPs are inherent to EXACT low-threshold search (see
+   * [[nearDupPairsLsh]] for the sub-quadratic high-threshold path).
    */
   def nearDupPairs(
-      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val l = corpus.select(col(idCol).as("a"), col(vecCol).as("_va"))
-    val r = corpus.select(col(idCol).as("b"), col(vecCol).as("_vb"))
-    l.join(r, col("a") < col("b"))
-      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      blocks: Int = 8): DataFrame = {
+    val b = blocks
+    val v = corpus.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"),
+      pmod(xxhash64(col(idCol)), lit(b.toLong)).cast("int").as("_blk"))
+    val lhs = v.select(col("_id").as("_ida"), col("_v").as("_va"), col("_blk").as("_ba"),
+      explode(sequence(col("_blk"), lit(b - 1))).as("_j"))
+      .select(col("_ida"), col("_va"), col("_ba"), (col("_ba") * b + col("_j")).as("_tile"))
+    val rhs = v.select(col("_id").as("_idb"), col("_v").as("_vb"), col("_blk").as("_bb"),
+      explode(sequence(lit(0), col("_blk"))).as("_i"))
+      .select(col("_idb"), col("_vb"), col("_bb"), (col("_i") * b + col("_bb")).as("_tile"))
+    lhs.join(rhs, Seq("_tile"))
+      // intra-block tiles see both orientations — keep one; cross-block
+      // tiles see exactly one orientation — keep it regardless of id order
+      .filter(col("_ba") =!= col("_bb") || col("_ida") < col("_idb"))
+      .withColumn("sim", GraftFunctions.cosine_sim(col("_va"), col("_vb")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("_ida"), col("_idb")).as("a"),
+        greatest(col("_ida"), col("_idb")).as("b"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /**
+   * Sub-quadratic near-dup pairs for HIGH thresholds: hyperplane-LSH
+   * candidate generation (pairs colliding on the full signature of at
+   * least one of `tables` independent hash tables) + exact cosine verify.
+   * Never invents a pair (exact verify) — may miss pairs whose angle is
+   * large; recall for threshold t is 1 - (1 - (1 - acos(t)/pi)^bits)^tables
+   * per pair, measured against [[nearDupPairs]] in the spec.
+   */
+  def nearDupPairsLsh(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bitsPerTable: Int = 8, tables: Int = 8): DataFrame = {
+    val v = corpus.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val bucketed = v.select(col("_id"), col("_v"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneSignature(col("_v"), bitsPerTable, t * 7919L + 13L)): _*))
+        .as(Seq("table", "bucket")))
+    val l = bucketed.select(col("_id").as("a"), col("_v").as("_va"),
+      col("table"), col("bucket"))
+    val r = bucketed.select(col("_id").as("b"), col("_v").as("_vb"),
+      col("table"), col("bucket"))
+    l.join(r, Seq("table", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b", "_va", "_vb").dropDuplicates("a", "b")
+      .withColumn("sim", GraftFunctions.cosine_sim(col("_va"), col("_vb")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
@@ -96,7 +162,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, bitsPerTable: Int = 12, tables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, as: String) = df.select(
-      col(idCol).as(as), col(vecCol).as(s"_v_$as"),
+      col(idCol).as(as), col(vecCol).cast("array<double>").as(s"_v_$as"),
       posexplode(array((0 until tables).map(t =>
         hyperplaneSignature(col(vecCol), bitsPerTable, t * 7919L + 13L)): _*))
         .as(Seq("table", "bucket")))
@@ -106,7 +172,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("_v_query_id"), col("_v_neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", cosine(col("_v_query_id"), col("_v_neighbor_id")))
+      .withColumn("sim", GraftFunctions.cosine_sim(col("_v_query_id"), col("_v_neighbor_id")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cands.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -62,6 +62,48 @@ class DedupSimilaritySpec extends SparkSuite {
     out.foreach { case (q, n) => assert(n === q - 1000000) }
   }
 
+  test("tile-join near-dup pairs are exact: block-count invariant and equal to naive all-pairs") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "sim").as[(Long, Long, Double)].collect().toSet
+    val tiled8 = key(Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4, blocks = 8))
+    val tiled3 = key(Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4, blocks = 3))
+    assert(tiled8 === tiled3) // tiling is a pure execution strategy
+    // naive all-pairs reference computed on the driver
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val naive = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.size
+      s = cos(vecs(i)._2, vecs(j)._2) if s >= 0.4
+    } yield (vecs(i)._1, vecs(j)._1, BigDecimal(s).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(tiled8 === naive)
+  }
+
+  test("LSH near-dup pairs: recall 1.0 on true near-dups at high threshold, never invents pairs") {
+    // planted near-dups: a scaled copy has cosine exactly 1.0 with its source,
+    // and an identical direction means identical hyperplane signatures — the
+    // LSH candidate stage finds every planted pair deterministically
+    val planted = emb.limit(20)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001f)))
+    val corpus = emb.unionByName(planted)
+    val exact = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(corpus, "vec_id", "embedding", 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 20)
+    assert(lsh.subsetOf(exact)) // exact verify: no false positives
+    val plantedPairs = exact.filter { case (a, b) => b == a + 1000000L }
+    assert(plantedPairs.forall(lsh.contains), "LSH must recall every planted near-dup")
+  }
+
   test("span explode/reassemble round-trips every document (span-sequence invariant)") {
     val spanRows = Spans.explodeSpans(Spans.nest(Spans.docsToSpanRows(docs)))
     val back = Spans.reassembleText(spanRows)
