@@ -42,13 +42,17 @@ object Bench {
     * set hashed orderlessly (commutative sum). */
   private def fingerprint(schedule: DataFrame, seen: DataFrame): (Long, Long, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("wave", "ready_ms", "host", "site_id", "page", "row", "canonical")
+    // rank per WAVE (wave is the leading crawl-order key, so (wave, _ord)
+    // encodes the same total order as a global rank) — a global orderBy
+    // window would single-partition the whole schedule
+    val w = Window.partitionBy("wave")
+      .orderBy("ready_ms", "host", "site_id", "page", "row", "canonical")
     // hashes folded to 32 bits before summing: ANSI-safe (no long overflow
     // below ~2^31 rows) while still order- and content-sensitive
     def h32(c: org.apache.spark.sql.Column) = shiftrightunsigned(c, 32)
     val sched = schedule
       .withColumn("_ord", row_number().over(w))
-      .select(sum(h32(xxhash64(col("_ord"), col("canonical"), col("url_hash"),
+      .select(sum(h32(xxhash64(col("wave"), col("_ord"), col("canonical"), col("url_hash"),
         col("ready_ms")))).as("h"), count(lit(1)).as("n"))
       .collect()(0)
     val sn = seen.select(sum(h32(xxhash64(col("url_hash")))).as("h"), count(lit(1)).as("n"))

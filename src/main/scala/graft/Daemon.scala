@@ -77,9 +77,10 @@ object Daemon {
 
   def run(spark: SparkSession, opts: Options): Pipeline.Output = {
     import spark.implicits._
-    val cache =
-      try spark.read.parquet(opts.cache)
-      catch { case _: Exception => Pipeline.emptyCache(spark) }
+    // ONLY a missing path is a first run; corruption/permissions/IO errors
+    // propagate (reference daemon read_cache special-cases NotFound only)
+    val cache = graft.streaming.StreamingMerge.readSnapshotOr(spark, opts.cache)(
+      Pipeline.emptyCache(spark))
 
     val cfg = Crawl.Config(scale = opts.scale, limitPerSite = opts.limit,
       rev = opts.rev, snapshotDir = opts.snapshotDir)
@@ -101,9 +102,9 @@ object Daemon {
     crawl.lineage.write.mode("overwrite").json(s"${opts.out}/reports/lineage")
 
     // calendar path
-    val calCache =
-      try spark.read.parquet(s"${opts.cache}_calendar")
-      catch { case _: Exception => spark.emptyDataset[graft.model.CalendarEvent].toDF() }
+    val calCache = graft.streaming.StreamingMerge.readSnapshotOr(
+      spark, s"${opts.cache}_calendar")(
+      spark.emptyDataset[graft.model.CalendarEvent].toDF())
     val cal = Pipeline.runCalendar(spark, crawl.posts, calCache,
       Timestamp.valueOf(s"${opts.calendarStart} 00:00:00"),
       Timestamp.valueOf(s"${opts.calendarEnd} 23:59:59"))

@@ -237,8 +237,13 @@ object SparkEntry {
     "q25_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintDedup(t(s, dir, "documents"), "doc_id", "text")),
 
+    // df-cut ON (maxShingleFreq=20, mirrored in the oracle SQL): at web
+    // scale a hot boilerplate shingle makes the self-join fan-out F^2
+    // unbounded — the named operator ships with the cut; the exact uncapped
+    // form stays available as the spec-only baseline (DedupSimilaritySpec)
     "q26_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5,
+        maxShingleFreq = 20L)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
 
     "q27_minhash_lsh" -> ((s, dir) =>
@@ -438,7 +443,7 @@ object SparkEntry {
         |         coalesce(o.id, n.id) AS id,
         |         o.id IS NULL AS is_insert,
         |         (o.id IS NOT NULL AND n.id IS NOT NULL AND
-        |          NOT (o.title = n.title AND trim(o.content) = trim(n.content))) AS is_update,
+        |          NOT (trim(o.title) = trim(n.title) AND trim(o.content) = trim(n.content))) AS is_update,
         |         o.title AS o_title, n.title AS n_title,
         |         o.content AS o_content, n.content AS n_content,
         |         o.created_at AS o_created, n.created_at AS n_created,
@@ -476,7 +481,7 @@ object SparkEntry {
         |       count(*) AS n
         |FROM new n LEFT JOIN old o ON n.id = o.id
         |WHERE o.id IS NULL
-        |   OR NOT (o.title = n.title AND trim(o.content) = trim(n.content))
+        |   OR NOT (trim(o.title) = trim(n.title) AND trim(o.content) = trim(n.content))
         |GROUP BY 1""".stripMargin,
 
     "q06_replace_in_range" ->
@@ -605,7 +610,9 @@ object SparkEntry {
         |  i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  AND s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20)
+        |  GROUP BY 1, 2)
         |SELECT a, b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
         |FROM inter JOIN sz x ON a = x.doc_id JOIN sz y ON b = y.doc_id
         |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin,

@@ -45,10 +45,10 @@ object Merge {
   final case class MergeResult(posts: DataFrame, events: DataFrame)
 
   /** Reference contents-equality as a Column (post.rs:50-56): trimmed id,
-    * exact title + category, trimmed content. */
+    * trimmed title, exact category, trimmed content. */
   def contentsEq(o: String => Column, n: String => Column): Column =
     (trim(o("id")) <=> trim(n("id"))) &&
-      (o("title") <=> n("title")) &&
+      (trim(o("title")) <=> trim(n("title"))) &&
       (o("category") <=> n("category")) &&
       (trim(o("content")) <=> trim(n("content")))
 
@@ -69,9 +69,13 @@ object Merge {
       else oldDf.withColumn("rank",
         row_number().over(Window.partitionBy("site_id").orderBy(col("created_at"), col("id"))))
 
+    // Arrival-order tiebreaker: callers pass `seq` (crawl order). The
+    // fallback derives it from explicit content columns — NEVER from
+    // partition order (monotonically_increasing_id would silently break
+    // the engine-wide determinism contract for created_at ties).
     val newSeq =
       if (newDf.columns.contains("seq")) newDf
-      else newDf.withColumn("seq", monotonically_increasing_id())
+      else newDf.withColumn("seq", xxhash64(col("site_id"), col("id")))
 
     // Stable processing order of the new batch: created_at, then arrival.
     val newRanked = newSeq.withColumn("new_ord",

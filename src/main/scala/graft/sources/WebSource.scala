@@ -71,15 +71,21 @@ private class WebScanBuilder(scale: Long, limitPerSite: Long, rev: Int)
   private var pushedLimit: Option[Int] = None
   private var pushed: Array[Filter] = Array.empty
 
+  private def narrowTo(vs: Set[String]): Unit =
+    siteFilter = Some(siteFilter.fold(vs)(_ intersect vs))
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case EqualTo("site_id", _: String) => true
       case In("site_id", _)              => true
       case _                             => false
     }
+    // successive site_id constraints INTERSECT (filters are conjunctive):
+    // `site_id = 'a' AND site_id IN ('a','b')` must prune to {'a'}, not
+    // let the last-seen filter win
     accepted.foreach {
-      case EqualTo("site_id", v: String) => siteFilter = Some(Set(v))
-      case In("site_id", vs)             => siteFilter = Some(vs.map(_.toString).toSet)
+      case EqualTo("site_id", v: String) => narrowTo(Set(v))
+      case In("site_id", vs)             => narrowTo(vs.map(_.toString).toSet)
       case _                             =>
     }
     pushed = accepted

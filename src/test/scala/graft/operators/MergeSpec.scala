@@ -69,6 +69,18 @@ class MergeSpec extends SparkSuite {
     assert(events === Map("2" -> "post_updated", "3" -> "post_created", "4" -> "post_created"))
   }
 
+  test("contents_eq trims title: whitespace-only title drift is NOT an update (post.rs:50-56)") {
+    val oldPosts = Seq(post("1", 0, "Title 1", "Content 1")).toDF().withColumn("rank", lit(1L))
+    val newPosts = Seq(post("1", 0, "  Title 1 ", "Content 1")).toDF()
+      .withColumn("seq", lit(0L))
+    val r = Merge.mergeEntries(oldPosts, newPosts, now)
+    assert(r.events.count() === 0)
+    // the old row survives untouched (no REPLACE, no stamped updated_at)
+    val row = r.posts.collect()(0)
+    assert(row.getAs[String]("title") === "Title 1")
+    assert(row.getAs[Timestamp]("updated_at") === null)
+  }
+
   test("merge is idempotent: merging the same batch twice changes nothing") {
     val oldPosts = Seq(post("1", -1, "T1", "C1"), post("0", -2, "T0", "C0"))
     val newPosts = Seq(post("1", 0, "T1-upd", "C1-upd"), post("2", 1, "T2", "C2"))

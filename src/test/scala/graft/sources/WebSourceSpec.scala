@@ -28,6 +28,17 @@ class WebSourceSpec extends SparkSuite {
     assert(two.select("site_id").distinct().count() === 2)
   }
 
+  test("conjunctive site_id filters intersect instead of last-one-wins") {
+    val df = web.filter(col("site_id") === "biz.ssu.ac.kr" &&
+      col("site_id").isin("biz.ssu.ac.kr", "scatch.ssu.ac.kr"))
+    val sites = df.select("site_id").distinct().collect().map(_.getString(0)).toSet
+    assert(sites === Set("biz.ssu.ac.kr"))
+    // contradictory constraints -> empty scan, not wrong rows
+    val none = web.filter(col("site_id") === "biz.ssu.ac.kr" &&
+      col("site_id") === "scatch.ssu.ac.kr")
+    assert(none.count() === 0)
+  }
+
   test("LIMIT pushes into the source: the page walk stops at the budget") {
     val df = web.limit(106)
     val plan = df.queryExecution.executedPlan.toString
