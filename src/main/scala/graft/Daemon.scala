@@ -39,7 +39,17 @@ object Daemon {
       snapshotDir: Option[String] = None,
       calendarStart: String = "2026-01-01",
       calendarEnd: String = "2027-12-31",
-      now: Timestamp = Timestamp.valueOf("2026-01-15 00:00:00"))
+      now: Timestamp = Timestamp.valueOf("2026-01-15 00:00:00"),
+      // fault injection for the synthetic web: listed sites fail every
+      // preflight attempt (the reference tests inject failing plugins the
+      // same way to drive the error_report / exit-status path)
+      failSites: Seq[String] = Seq.empty)
+
+  /** A daemon run: the pipeline output plus the per-site failure tally
+    * (reference error tally, cli main.rs:118-125). */
+  final case class RunResult(
+      pipeline: Pipeline.Output,
+      failedSites: Map[String, Throwable])
 
   def parseArgs(args: Array[String]): Options = {
     var o = Options()
@@ -57,6 +67,7 @@ object Daemon {
         case "--calendar-start" => o = o.copy(calendarStart = args(i + 1)); i += 2
         case "--calendar-end"   => o = o.copy(calendarEnd = args(i + 1)); i += 2
         case "--now"            => o = o.copy(now = Timestamp.valueOf(args(i + 1))); i += 2
+        case "--fail-sites"     => o = o.copy(failSites = args(i + 1).split(",").toSeq); i += 2
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }
@@ -65,7 +76,11 @@ object Daemon {
     o
   }
 
-  /** Site filter as a broadcast semi/anti join (J4, macros.rs:46-113). */
+  /** Site filter as a broadcast semi/anti join over an arbitrary post table
+    * (J4). The daemon itself prunes sites BEFORE the crawl (seed-time, via
+    * `Crawl.Config.include/exclude` — reference macros.rs:46-113); this
+    * operator remains for filtering post tables that were produced
+    * elsewhere (a cache snapshot, a foreign dump). */
   def filterSites(spark: SparkSession, posts: DataFrame, opts: Options): DataFrame = {
     import spark.implicits._
     if (opts.include.nonEmpty)
@@ -75,39 +90,80 @@ object Daemon {
     else posts
   }
 
-  def run(spark: SparkSession, opts: Options): Pipeline.Output = {
+  /**
+   * Per-site preflight — the reference's plugin-construction stage (client
+   * setup / SSO login / first-page probe) wrapped in run_with_retry
+   * (mod.rs:38-93). A site that exhausts its retries is EXCLUDED from the
+   * crawl, tallied into the error report, and drives a nonzero exit.
+   */
+  private def preflight(site: graft.crawl.Site, opts: Options): Unit = {
+    if (opts.failSites.contains(site.site_id))
+      throw new RuntimeException(s"synthetic network failure: ${site.site_id}")
+    // auth family: SSO login bootstrap IS the plugin-construction stage
+    // (sso.rs:26-92) — a failed login exhausts retries like any fetch error
+    val session =
+      if (site.family == "auth") Some(graft.crawl.Sso.bootstrap(site.host)) else None
+    // grammar sanity probe: page-1 list URL must expand (throws on a broken
+    // site definition, like a failed plugin constructor)
+    graft.crawl.SyntheticWeb.expand(
+      graft.crawl.SyntheticWeb.Req(
+        graft.crawl.SyntheticWeb.listUrl(site, 1), site.site_id, "list", 1, 0, 0),
+      opts.scale, opts.limit, opts.rev, session)
+    ()
+  }
+
+  def run(spark: SparkSession, opts: Options): RunResult = {
     import spark.implicits._
     // ONLY a missing path is a first run; corruption/permissions/IO errors
     // propagate (reference daemon read_cache special-cases NotFound only)
     val cache = graft.streaming.StreamingMerge.readSnapshotOr(spark, opts.cache)(
       Pipeline.emptyCache(spark))
 
+    // site selection BEFORE task creation (macros.rs:46-113), then per-site
+    // preflight with whole-site retry (mod.rs:38-93); survivors form the
+    // crawl's include set — a pruned/failed site gets zero seeds
+    val selectedSites = graft.crawl.Sites.selected(opts.include, opts.exclude)
+    val byId = selectedSites.map(s => s.site_id -> s).toMap
+    val (okSites, failedSites) =
+      graft.crawl.Retry.runAll(selectedSites.map(_.site_id))(id => preflight(byId(id), opts))
+    val liveSiteIds = selectedSites.map(_.site_id).filter(okSites.contains)
+
     val cfg = Crawl.Config(scale = opts.scale, limitPerSite = opts.limit,
-      rev = opts.rev, snapshotDir = opts.snapshotDir)
+      rev = opts.rev, snapshotDir = opts.snapshotDir, include = liveSiteIds)
     val crawl = Crawl.run(spark, cfg)
-    val selected = filterSites(spark, crawl.posts, opts)
 
     val order = crawl.schedule.select(col("url"),
       ((col("page").cast("long") * 1000000L) + col("row")).as("seq"))
-    val newPosts = selected.join(order, Seq("url"), "left")
+    val newPosts = crawl.posts.join(order, Seq("url"), "left")
       .withColumn("seq", coalesce(col("seq"), lit(0L)))
     val merged = graft.operators.Merge.mergeEntries(cache, newPosts, opts.now)
     val top = graft.operators.Merge.topKPerSite(merged.posts, opts.limit.toInt)
+
+    // crawl_failed events join the content events (reference writes both
+    // the content report and the error report, main.rs:300-340)
+    val failEvents = failedSites.toSeq
+      .map { case (site, e) => (site, "crawl_failed", null: String, e.getMessage, null: String) }
+      .toDF("site_id", "event", "post_id", "title", "url")
+    val events = merged.events.unionByName(failEvents)
 
     // sinks (cli main.rs:192-243 layout)
     graft.sinks.SiteJson.write(graft.sinks.SiteJson.perSite(top), s"${opts.out}/sites")
     graft.sinks.Rss.perSite(top).repartition(col("site_id"))
       .write.mode("overwrite").partitionBy("site_id").text(s"${opts.out}/rss")
-    graft.sinks.Report.write(merged.events, s"${opts.out}/reports/content_report")
+    graft.sinks.Report.write(events, s"${opts.out}/reports/content_report")
+    failedSites.toSeq
+      .map { case (site, e) => (site, e.getMessage) }
+      .toDF("site_id", "error")
+      .write.mode("overwrite").json(s"${opts.out}/reports/error_report")
     crawl.lineage.write.mode("overwrite").json(s"${opts.out}/reports/lineage")
 
     // calendar path
     val calCache = graft.streaming.StreamingMerge.readSnapshotOr(
       spark, s"${opts.cache}_calendar")(
       spark.emptyDataset[graft.model.CalendarEvent].toDF())
-    val cal = Pipeline.runCalendar(spark, crawl.posts, calCache,
+    val cal = Pipeline.runCalendar(spark, calCache,
       Timestamp.valueOf(s"${opts.calendarStart} 00:00:00"),
-      Timestamp.valueOf(s"${opts.calendarEnd} 23:59:59"))
+      Timestamp.valueOf(s"${opts.calendarEnd} 23:59:59"), opts.scale)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${opts.out}/calendar.ics"), cal.ics)
@@ -116,8 +172,10 @@ object Daemon {
     merged.posts.write.mode("overwrite").parquet(s"${opts.cache}_next")
     cal.cache.write.mode("overwrite").parquet(s"${opts.cache}_calendar_next")
 
-    Pipeline.Output(top, merged.posts, graft.sinks.SiteJson.perSite(top),
-      graft.sinks.Rss.perSite(top), merged.events, crawl.schedule, crawl.lineage)
+    RunResult(
+      Pipeline.Output(top, merged.posts, graft.sinks.SiteJson.perSite(top),
+        graft.sinks.Rss.perSite(top), events, crawl.schedule, crawl.lineage),
+      failedSites)
   }
 
   def main(args: Array[String]): Unit = {
@@ -128,10 +186,15 @@ object Daemon {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)
-    val out = run(spark, opts)
+    val res = run(spark, opts)
+    val out = res.pipeline
     val created = out.events.filter(col("event") === "post_created").count()
     val updated = out.events.filter(col("event") === "post_updated").count()
-    println(s"""{"posts": ${out.topPosts.count()}, "created": $created, "updated": $updated}""")
+    println(s"""{"posts": ${out.topPosts.count()}, "created": $created, """ +
+      s""""updated": $updated, "failed_sites": ${res.failedSites.size}}""")
     spark.stop()
+    // reference exit semantics (main.rs:118-125): any site that exhausted
+    // its retries fails the run, AFTER all sinks were written
+    if (res.failedSites.nonEmpty) sys.exit(1)
   }
 }

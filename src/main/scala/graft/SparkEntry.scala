@@ -368,14 +368,15 @@ object SparkEntry {
         .groupBy("site_id").agg(count(lit(1)).as("n_posts"),
           max(length(col("content"))).as("max_content_len"))),
 
-    // ---- calendar path: replace-in-range + ICS render (K3/M3/M4) ----
+    // ---- calendar path: year-page parse (P14) -> replace-in-range ->
+    // ICS render with DTEND (K3/M3/M4) ----
     "q44_calendar" -> { (s, _) =>
       import s.implicits._
-      val crawl = cachedCrawl(s, crawlCfg)
-      val out = graft.crawl.Pipeline.runCalendar(s, crawl.posts,
+      val out = graft.crawl.Pipeline.runCalendar(s,
         s.emptyDataset[graft.model.CalendarEvent].toDF(),
-        Timestamp.valueOf("2026-01-01 00:00:00"), Timestamp.valueOf("2026-12-31 23:59:59"))
-      out.events.select("id", "title", "starts_at")
+        Timestamp.valueOf("2026-01-01 00:00:00"), Timestamp.valueOf("2026-12-31 23:59:59"),
+        scale = crawlCfg.scale)
+      out.events.select("id", "title", "starts_at", "ends_at")
     }
   )
 

@@ -62,13 +62,21 @@ object Crawl {
       probePagination: Boolean = true,
       maxWaves: Int = 64,
       snapshotDir: Option[String] = None,
-      seenSketch: String = "bloom") // "bloom" | "cuckoo"
+      seenSketch: String = "bloom", // "bloom" | "cuckoo"
+      // Site selection BEFORE any scheduling work — the reference prunes
+      // plugins before task creation (cli macros.rs:46-113): an unselected
+      // site contributes zero seeds, zero fetches, zero shuffle rows.
+      include: Seq[String] = Seq.empty,
+      exclude: Seq[String] = Seq.empty)
 
   final case class Result(
       posts: DataFrame,    // fetched documents (Post schema)
       seen: DataFrame,     // url_hash table
       schedule: DataFrame, // the crawl-order artifact
-      lineage: DataFrame)  // per (wave, partition) lineage rows
+      lineage: DataFrame,  // per (wave, partition) lineage rows
+      // SSO bootstrap counter (S8): one init per partition×host that
+      // touches an auth-family site — NOT one per fetched row
+      ssoBootstraps: org.apache.spark.util.LongAccumulator = null)
 
   /** robots rules per host (parsed from the synthetic robots.txt bodies):
     * crawl-delay feeds the politeness clock; Disallow prefixes filter the
@@ -84,7 +92,7 @@ object Crawl {
     val calendarYears = 2 // reference: this year + next (cli main.rs:268-277)
     val scale = cfg.scale; val limit = cfg.limitPerSite; val rev = cfg.rev
     val probe = cfg.probePagination
-    val siteSeeds = spark.createDataset(Sites.all)
+    val siteSeeds = spark.createDataset(Sites.selected(cfg.include, cfg.exclude))
     siteSeeds.flatMap { s =>
       if (s.family == "calendar")
         (1 to calendarYears).map(y =>
@@ -122,6 +130,7 @@ object Crawl {
     import spark.implicits._
 
     val robotsDf = broadcast(robots(spark))
+    val ssoBootstraps = spark.sparkContext.longAccumulator("sso_bootstraps")
     // wave stage-out root: the snapshot dir when snapshotting, else a temp
     // (tmpfs when available — wave files are transient and RAM-backed
     // stage-out removes disk-IO jitter; a cluster would use HDFS/S3 here)
@@ -232,20 +241,35 @@ object Crawl {
       val waveLineageBase = fetchInput.groupBy(col("partition_id"))
         .agg(count(lit(1)).as("fetched"))
 
-      // 6. fetch = deterministic synthetic expansion (typed transform)
+      // 6. fetch = deterministic synthetic expansion (typed transform).
+      // Auth-family (SSO) sites need a bootstrapped session: init ONCE PER
+      // PARTITION per host inside mapPartitions (S8, sso.rs:26-92 — the
+      // authenticated client is constructed once and reused), counted by an
+      // accumulator so the spec can assert inits << fetches.
       val scale = cfg.scale; val limit = cfg.limitPerSite; val rev = cfg.rev
       val probe = cfg.probePagination
       val expanded = fetchInput
         .select("url", "site_id", "kind", "page", "row", "depth")
         .as[SyntheticWeb.Req]
-        .flatMap { req =>
-          val (post, links0) = SyntheticWeb.expand(req, scale, limit, rev)
-          // with the static pagination fan-out, list pages were all seeded
-          // at wave 0 — drop the rediscovered next-page links (they are in
-          // the seen set anyway; this just avoids scheduling work)
-          val links = if (probe) links0.filter(_.kind != "list") else links0
-          (post.map(p => ExpandRow(Some(p), None)) ++
-            links.map(l => ExpandRow(None, Some(l)))).iterator
+        .mapPartitions { it =>
+          val sessions = scala.collection.mutable.HashMap.empty[String, Sso.Session]
+          it.flatMap { req =>
+            val site = SyntheticWeb.siteById(req.site_id)
+            val session =
+              if (site.family == "auth")
+                Some(sessions.getOrElseUpdate(site.host, {
+                  ssoBootstraps.add(1L)
+                  Sso.bootstrap(site.host)
+                }))
+              else None
+            val (post, links0) = SyntheticWeb.expand(req, scale, limit, rev, session)
+            // with the static pagination fan-out, list pages were all seeded
+            // at wave 0 — drop the rediscovered next-page links (they are in
+            // the seen set anyway; this just avoids scheduling work)
+            val links = if (probe) links0.filter(_.kind != "list") else links0
+            (post.map(p => ExpandRow(Some(p), None)) ++
+              links.map(l => ExpandRow(None, Some(l)))).iterator
+          }
         }
 
       // Only the (small) discovered-link frontier is cached; the wave's
@@ -295,6 +319,7 @@ object Crawl {
       postParts.reduce(_ unionByName _),
       seenAll,
       scheduleParts.reduce(_ unionByName _),
-      lineageParts.reduce(_ unionByName _))
+      lineageParts.reduce(_ unionByName _),
+      ssoBootstraps)
   }
 }

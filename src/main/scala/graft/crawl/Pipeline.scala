@@ -66,34 +66,36 @@ object Pipeline {
 
   /**
    * Calendar daemon path (reference run_calendar, core/mod.rs:219-267):
-   * the calendar site's crawled posts become events, the cache is merged
-   * replace-in-range, the in-range output renders to one ICS document.
+   * fetch the calendar site's YEAR pages for the requested range, parse the
+   * month blocks into (starts_at, ends_at) events with partial-date range
+   * inference ([[graft.parse.CalendarParser]], the full port of
+   * ssu-academic-calendar lib.rs:104-271), merge replace-in-range against
+   * the cache, render the in-range output to one ICS document (with real
+   * DTEND lines). Parsing is distributed (one task per year page);
+   * per-event VEVENT rendering is distributed too — the driver only
+   * concatenates the final block strings.
    */
   def runCalendar(
       spark: SparkSession,
-      crawledPosts: DataFrame,
       cache: DataFrame,
       start: java.sql.Timestamp,
-      end: java.sql.Timestamp): CalendarOutput = {
+      end: java.sql.Timestamp,
+      scale: Long): CalendarOutput = {
     import spark.implicits._
-    val events = crawledPosts
-      .filter(col("site_id") === "ssu-academic-calendar")
-      .select(
-        col("id"), col("title"),
-        lit(null).cast("string").as("description"),
-        col("created_at").as("starts_at"),
-        lit(null).cast("timestamp").as("ends_at"),
-        lit(null).cast("string").as("location"),
-        col("url"))
-      // stable reference-style event id (M7)
-      .withColumn("id", concat(lit("ssu-academic-calendar:"),
-        date_format(col("starts_at"), "yyyy-MM-dd"), lit(":_:"),
-        graft.functions.GraftFunctions.slugify(col("title"))))
+    val site = Sites.all.find(_.family == "calendar").get
+    val years = (start.toLocalDateTime.getYear to end.toLocalDateTime.getYear).toList
+    val parsed = spark.createDataset(years).flatMap { y =>
+      val pageUrl = SyntheticWeb.listUrl(site, y - 2024)
+      graft.parse.CalendarParser.parseYearPage(
+        SyntheticWeb.calendarYearHtml(y, scale), y, pageUrl)
+    }.toDF()
+    // the merge contract takes new entries all inside [start, end]
+    val events = parsed.filter(col("starts_at").between(lit(start), lit(end)))
     val merged = graft.operators.Merge.mergeCalendarReplaceInRange(cache, events, start, end)
     val output = graft.operators.Merge.calendarInRange(merged, start, end)
-    val items = output.as[graft.model.CalendarEvent].collect().toSeq
-    val ics = graft.sinks.Ics.toIcs(
-      "SSU Academic Calendar", "https://scatch.ssu.ac.kr/학사일정", "학사일정", items)
+    val ics = graft.sinks.Ics.toIcsDistributed(
+      "SSU Academic Calendar", "https://scatch.ssu.ac.kr/학사일정", "학사일정",
+      output.as[graft.model.CalendarEvent])
     CalendarOutput(output, merged, ics)
   }
 }

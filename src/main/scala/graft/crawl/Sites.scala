@@ -96,4 +96,10 @@ object Sites {
    */
   def postCount(site: Site, scale: Long): Long =
     math.max(1L, math.ceil(scale.toDouble / site.zipf_rank).toLong)
+
+  /** Fleet selection (reference pre-task pruning, cli macros.rs:46-113):
+    * empty include = all sites; exclude always wins. Registry order kept. */
+  def selected(include: Seq[String], exclude: Seq[String]): Seq[Site] =
+    all.filter(s => (include.isEmpty || include.contains(s.site_id)) &&
+      !exclude.contains(s.site_id))
 }

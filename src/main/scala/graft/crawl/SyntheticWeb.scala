@@ -128,13 +128,63 @@ object SyntheticWeb {
   }
 
   /**
+   * Deterministic academic-calendar YEAR PAGE — real month-block HTML in
+   * the exact shape the reference's year pages have (the structure
+   * [[graft.parse.CalendarParser.parseYearPage]] expects; fixture shape
+   * from ssu-academic-calendar lib.rs:384-553): `#calendar` with
+   * `div[id^=calendar]` month blocks, `span.font-size-50` month labels,
+   * `ul.tb > li` event rows whose date column exercises every range
+   * dialect — single day, same-month range, cross-month day-only end
+   * (`MM.DD ~ DD`), and a cross-YEAR December range.
+   */
+  def calendarYearHtml(year: Int, scale: Long): String = {
+    val sb = new StringBuilder(s"""<div id="calendar"><h4>${year}년</h4>""")
+    (1 to 12).foreach { m =>
+      val h = mix(mix(scale, year.toLong), m.toLong)
+      val nEvents = 1 + (math.abs(h) % 3).toInt // 1..3 per month
+      val items = (0 until nEvents).map { k =>
+        val hk = mix(h, k.toLong)
+        val day = 1 + (math.abs(hk) % 20).toInt // 1..21 (room for ranges)
+        val title = {
+          val w1 = vocab((math.abs(mix(hk, 1L)) % vocab.length).toInt)
+          val w2 = vocab((math.abs(mix(hk, 2L)) % vocab.length).toInt)
+          s"${year}학년도 $w1 $w2 ($m-$k)"
+        }
+        val date = (m, k % 3) match {
+          case (12, 0) => f"12.28 (월) ~ 01.${1 + (math.abs(hk) % 5).toInt}%02d (일)" // cross-year
+          case (_, 0)  => f"$m%02d.$day%02d"                                          // single day
+          case (_, 1)  => f"$m%02d.$day%02d ~ $m%02d.${day + 5}%02d"                  // same-month
+          case _       => f"$m%02d.$day%02d ~ ${math.max(1, day - 1)}%02d"            // cross-month
+        }
+        val body =
+          if (k % 2 == 0) s"""<a href="/academic-event-$m-$k">$title</a>"""
+          else title
+        s"""<li><div class="row"><div class="col-12 text-primary">$date</div>""" +
+          s"""<div class="col-12">$body</div></div></li>"""
+      }.mkString
+      val mm = f"$m%02d"
+      sb.append(
+        s"""<div id="calendar$year$mm" class="row"><div class="col">""" +
+          s"""<div class="grid text-center"><span>$year</span>""" +
+          s"""<span class="h1 font-size-50">$m </span></div></div>""" +
+          s"""<div class="col"><div class="grid"><ul class="tb">$items</ul></div></div></div>""")
+    }
+    sb.append("</div>").toString
+  }
+
+  /**
    * Expand one request: list pages yield post links (newest-first within
    * the page, exactly the board ordering) + the next page while the
    * per-site `limit` budget allows (reference limit pushdown: per-page
    * take(remain) + stop, gnuboard mod.rs:92-108); post pages yield docs.
    */
-  def expand(req: Req, scale: Long, limit: Long, rev: Int): (Option[Post], Seq[Req]) = {
+  def expand(req: Req, scale: Long, limit: Long, rev: Int,
+      session: Option[Sso.Session] = None): (Option[Post], Seq[Req]) = {
     val site = siteById(req.site_id)
+    // the auth family (ssupath) requires a bootstrapped SSO session for
+    // EVERY fetch (S8, sso.rs:26-92) — unauthenticated requests fail like
+    // the live site's 302-to-login would
+    if (site.family == "auth") Sso.authorize(session, site.host)
     req.kind match {
       case "list" =>
         val total0 = Sites.postCount(site, scale)

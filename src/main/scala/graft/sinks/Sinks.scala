@@ -130,6 +130,31 @@ object Ics {
       items.flatMap(eventLines) :+ "END:VCALENDAR"
     lines.map(TextKernel.icsFold).mkString("\r\n") + "\r\n"
   }
+
+  private def headerLines(title: String, source: String, desc: String): Seq[String] = Seq(
+    "BEGIN:VCALENDAR", "VERSION:2.0", "CALSCALE:GREGORIAN",
+    "PRODID:-//ssufid//calendar//KO",
+    s"X-WR-CALNAME:${TextKernel.icsEscape(title)}",
+    s"X-WR-CALDESC:${TextKernel.icsEscape(desc)}",
+    s"URL:$source")
+
+  /**
+   * Same VCALENDAR document, but the per-event escape/fold rendering runs
+   * DISTRIBUTED (one folded VEVENT block per row); the driver only
+   * concatenates the already-rendered block strings, in the dataset's sort
+   * order — byte-identical to [[toIcs]] over the same ordered items, with
+   * no Row collect on the driver.
+   */
+  def toIcsDistributed(
+      title: String, source: String, desc: String,
+      items: Dataset[CalendarEvent]): String = {
+    import items.sparkSession.implicits._
+    val blocks = items
+      .map(e => eventLines(e).map(TextKernel.icsFold).mkString("\r\n"))
+      .collect()
+    (headerLines(title, source, desc).map(TextKernel.icsFold) ++
+      blocks :+ TextKernel.icsFold("END:VCALENDAR")).mkString("\r\n") + "\r\n"
+  }
 }
 
 object SiteJson {

@@ -52,8 +52,15 @@ object ProfileCrawl {
     time("f_+persist")(persisted)
     // expand typed flatMap
     val exp = persisted.select("url","site_id","kind","page","row","depth").as[graft.crawl.SyntheticWeb.Req]
-      .flatMap { req => val (p, l) = graft.crawl.SyntheticWeb.expand(req, 1000000, 300000, 0)
-        (p.map(x => graft.crawl.ExpandRow(Some(x), None)) ++ l.map(x => graft.crawl.ExpandRow(None, Some(x)))).iterator }
+      .mapPartitions { it =>
+        val sessions = scala.collection.mutable.HashMap.empty[String, graft.crawl.Sso.Session]
+        it.flatMap { req =>
+          val site = graft.crawl.SyntheticWeb.siteById(req.site_id)
+          val s = if (site.family == "auth")
+            Some(sessions.getOrElseUpdate(site.host, graft.crawl.Sso.bootstrap(site.host)))
+          else None
+          val (p, l) = graft.crawl.SyntheticWeb.expand(req, 1000000, 300000, 0, s)
+          (p.map(x => graft.crawl.ExpandRow(Some(x), None)) ++ l.map(x => graft.crawl.ExpandRow(None, Some(x)))).iterator } }
     time("g_expand")(exp.filter((r: graft.crawl.ExpandRow) => r.link.isDefined).toDF())
     spark.stop()
   }

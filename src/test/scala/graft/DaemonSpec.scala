@@ -23,7 +23,9 @@ class DaemonSpec extends SparkSuite {
       limit = 10, scale = 60,
       include = Seq("scatch.ssu.ac.kr", "biz.ssu.ac.kr", "cse.ssu.ac.kr/bachelor",
         "ssu-academic-calendar"))
-    val out = Daemon.run(spark, opts)
+    val res = Daemon.run(spark, opts)
+    val out = res.pipeline
+    assert(res.failedSites.isEmpty)
 
     // include filter applied (semi join)
     val sites = out.topPosts.select("site_id").distinct()
@@ -42,5 +44,40 @@ class DaemonSpec extends SparkSuite {
     // next-run cache persisted and usable
     val next = spark.read.parquet(s"$dir/cache_next")
     assert(next.count() === out.cache.count())
+  }
+
+  test("--include prunes sites BEFORE the crawl: only included sites are ever scheduled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-daemon-prune").toString
+    val include = Seq("biz.ssu.ac.kr", "bioinfo.ssu.ac.kr")
+    val res = Daemon.run(spark, Daemon.Options(out = s"$dir/out",
+      cache = s"$dir/cache", limit = 10, scale = 60, include = include))
+    // the SCHEDULE (pre-fetch artifact) carries only included sites — the
+    // unselected 52 sites got no seeds, no fetches, no shuffle rows
+    // (reference pre-task pruning, macros.rs:46-113)
+    val scheduled = res.pipeline.schedule.select("site_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(scheduled === include.toSet, scheduled.toString)
+  }
+
+  test("a site that exhausts retries: error_report + crawl_failed events, others unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-daemon-fail").toString
+    val res = Daemon.run(spark, Daemon.Options(out = s"$dir/out",
+      cache = s"$dir/cache", limit = 10, scale = 60,
+      include = Seq("biz.ssu.ac.kr", "bioinfo.ssu.ac.kr"),
+      failSites = Seq("bioinfo.ssu.ac.kr")))
+    // failure tallied (drives main's nonzero exit), healthy site crawled
+    assert(res.failedSites.keySet === Set("bioinfo.ssu.ac.kr"))
+    val scheduled = res.pipeline.schedule.select("site_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(scheduled === Set("biz.ssu.ac.kr"))
+    // crawl_failed event in the event stream
+    val failEvents = res.pipeline.events.filter(col("event") === "crawl_failed")
+      .select("site_id").collect().map(_.getString(0)).toSeq
+    assert(failEvents === Seq("bioinfo.ssu.ac.kr"))
+    // error_report channel written (reference main.rs:300-340)
+    val report = spark.read.json(s"$dir/out/reports/error_report")
+    val rows = report.select("site_id", "error").collect()
+    assert(rows.length === 1 && rows(0).getString(0) === "bioinfo.ssu.ac.kr")
+    assert(rows(0).getString(1).contains("failed after 3 attempts"))
   }
 }
