@@ -368,6 +368,17 @@ object SparkEntry {
         .groupBy("site_id").agg(count(lit(1)).as("n_posts"),
           max(length(col("content"))).as("max_content_len"))),
 
+    // ---- DSv2 source feeding the span decomposition (the q43-over-q46
+    // composition): the connector's thumbnail/attachments columns drive the
+    // interleaved span model without going through the crawl ----
+    "q47_dsv2_spans" -> ((s, _) =>
+      Spans.postsToSpanRows(
+        s.read.format("graft.sources.WebSource")
+          .option("scale", "200").option("limit_per_site", "20").load()
+          .filter(col("site_id").isin("biz.ssu.ac.kr", "scatch.ssu.ac.kr")))
+        .groupBy("kind").agg(count(lit(1)).as("n_spans"),
+          countDistinct(col("doc_id")).as("n_docs"))),
+
     // ---- calendar path: year-page parse (P14) -> replace-in-range ->
     // ICS render with DTEND (K3/M3/M4) ----
     "q44_calendar" -> { (s, _) =>

@@ -224,8 +224,10 @@ object SyntheticWeb {
 
   /** The id listed at 0-based position `pos` (newest-first over the full
     * population 1..total), skipping ids % 23 == 0 when rev == 0
-    * (closed form: the q-th non-multiple of 23 is q + (q-1)/22). */
-  private def idAt(total: Long, pos: Long, rev: Int): Long =
+    * (closed form: the q-th non-multiple of 23 is q + (q-1)/22).
+    * Shared by the crawl's list walk AND the DSv2 source so both enumerate
+    * the exact same visible posts. */
+  def idAt(total: Long, pos: Long, rev: Int): Long =
     if (rev >= 1) total - pos
     else {
       val m = total - total / 23 // non-multiples in [1, total]
