@@ -104,6 +104,34 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(plantedPairs.forall(lsh.contains), "LSH must recall every planted near-dup")
   }
 
+  test("LSH dedup scales near-linearly: 50k -> 100k docs (no quadratic plan regression)") {
+    // synthetic corpus with planted near-dups: doc i's text is 12 tokens
+    // drawn from a per-i seed; every 200th doc is a near-copy of i-1
+    // (one token changed -> high jaccard)
+    def corpus(n: Int) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 12).map(k => concat(lit("w"),
+          when(col("id") % 200 === 0 && col("id") > 0 && lit(k) < 11,
+            pmod(xxhash64(col("id") - 1, lit(k)), lit(5000)))
+            .otherwise(pmod(xxhash64(col("id"), lit(k)), lit(5000))))): _*).as("text"))
+    def timeIt(n: Int): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashLshPairs(corpus(n), "doc_id", "text", 3, 0.5,
+        numBands = 8, rowsPerBand = 2).count()
+      ((System.nanoTime() - t0) / 1e9, pairs)
+    }
+    timeIt(2000) // codegen warmup
+    val (t50, p50) = timeIt(50000)
+    val (t100, p100) = timeIt(100000)
+    // planted pairs are found, and doubling the corpus roughly doubles them
+    assert(p50 >= 200 && p100 >= 2 * p50 - 50, s"pairs $p50 -> $p100")
+    // near-linear runtime: 2x docs must stay well under the 4x a quadratic
+    // candidate stage would cost (generous 3x bound for shuffle constants
+    // + VM noise)
+    assert(t100 <= t50 * 3.0 + 5.0, f"minhash LSH scaled $t50%.1fs -> $t100%.1fs")
+  }
+
   test("span explode/reassemble round-trips every document (span-sequence invariant)") {
     val spanRows = Spans.explodeSpans(Spans.nest(Spans.docsToSpanRows(docs)))
     val back = Spans.reassembleText(spanRows)
