@@ -132,23 +132,34 @@ object Bench {
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-    def pinnedRun(cpus: Int): (Double, (Long, Long, Long, Long), Long) = {
+    def spawnPinned(cpus: Int, marker: String, workerArgs: Seq[String]): Array[String] = {
       val cmd = Seq("taskset", "-c", s"0-${cpus - 1}",
         s"${sys.props("java.home")}/bin/java") ++ addOpens ++ Seq(
         s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "32g")}",
         s"-XX:ActiveProcessorCount=$cpus",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"),
-        "graft.BenchWorker", cpus.toString, benchScale.toString, benchLimit.toString)
+        "graft.BenchWorker") ++ workerArgs
       val out = new StringBuilder
       val code = scala.sys.process.Process(cmd).!(
         scala.sys.process.ProcessLogger(
-          line => { if (line.startsWith("BENCHWORKER")) out.append(line) },
+          line => { if (line.startsWith(marker)) out.append(line) },
           line => System.err.println(line)))
       require(code == 0 && out.nonEmpty, s"bench worker failed (exit $code)")
-      val p = out.toString.split(" ")
+      out.toString.split(" ")
+    }
+
+    def pinnedRun(cpus: Int): (Double, (Long, Long, Long, Long), Long) = {
+      val p = spawnPinned(cpus, "BENCHWORKER",
+        Seq(cpus.toString, benchScale.toString, benchLimit.toString))
       (p(1).toDouble, (p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong), p(6).toLong)
     }
+
+    // host calibration: fixed work PER THREAD, so perfect hardware gives a
+    // flat time across thread counts; low/high ratio = what the host can
+    // express RIGHT NOW (the ceiling the crawl's ratio is read against)
+    def burnRun(cpus: Int): Double =
+      spawnPinned(cpus, "BENCHBURN", Seq("burn", cpus.toString))(1).toDouble
 
     def timedRun(cpus: Int, warm: Boolean): (Double, (Long, Long, Long, Long), Long) = {
       if (pin) pinnedRun(cpus)
@@ -178,8 +189,11 @@ object Bench {
           (cpusHigh.toDouble / cpusLow)
         math.max(best, medianEff)
       }
+    val burnsLow = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val burnsHigh = scala.collection.mutable.ArrayBuffer.empty[Double]
     var round = 0
     while (round < maxRounds && (round < minRounds || bestEff() < target)) {
+      if (pin) { burnsLow += burnRun(cpusLow); burnsHigh += burnRun(cpusHigh) }
       val rl = timedRun(cpusLow, warm = round == 0)
       System.err.println(f"[bench] local[$cpusLow] round${round + 1}: ${rl._1}%.2fs")
       runsLow += rl
@@ -216,7 +230,13 @@ object Bench {
         f""""cpus_high":$cpusHigh,"secs_high":$secsHigh%.2f,"urls_per_sec_high":$thrHigh%.0f,""" +
         f""""scaling_efficiency":$efficiency%.3f,""" +
         f""""scaling_efficiency_median":$efficiencyMedian%.3f,""" +
-        s""""pinned_cores":$pin,"identical_output":$identical,""" +
+        s""""pinned_cores":$pin,""" +
+        (if (burnsLow.nonEmpty)
+          f""""hardware_scaling_now":${burnsLow.min / burnsHigh.min}%.3f,""" +
+            s""""burn_low_sec":${burnsLow.map(b => f"$b%.2f").mkString("[", ",", "]")},""" +
+            s""""burn_high_sec":${burnsHigh.map(b => f"$b%.2f").mkString("[", ",", "]")},"""
+         else "") +
+        s""""identical_output":$identical,""" +
         s""""runs_low_sec":${runsLowAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
         s""""runs_high_sec":${runsHighAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
         f""""seen_rows":${fpHigh._4}}"""

@@ -13,7 +13,32 @@ package graft
  *   BENCHWORKER <secs> <fp1> <fp2> <fp3> <fp4> <urls>
  */
 object BenchWorker {
+
+  /** Pure-ALU burn: `threads` threads each do FIXED work, so perfect
+    * scaling = flat wall time; the low/high wall-time ratio is the host's
+    * attainable scaling at this moment (the calibration the crawl's
+    * efficiency is read against). */
+  private def burn(threads: Int): Double = {
+    val iters = 2000000000L
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { s =>
+      val t = new Thread(() => {
+        var x = s + 1L
+        var k = 0L
+        while (k < iters) { x = x * 6364136223846793005L + 1442695040888963407L; k += 1 }
+        if (x == 42L) print("")
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args(0) == "burn") {
+      println(f"BENCHBURN ${burn(args(1).toInt)}%.3f")
+      return
+    }
     val cpus = args(0).toInt
     val scale = args(1).toLong
     val limit = args(2).toLong

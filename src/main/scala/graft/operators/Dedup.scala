@@ -77,8 +77,13 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
+    // cache barrier: the exploded shingle table feeds the df-cut, the
+    // per-doc sizes, and BOTH self-join sides — without it the (expensive)
+    // tokenize+shingle explode recomputes once per consumer (at cluster
+    // scale this staging would be a checkpoint to storage)
     val sh = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .cache()
     val filtered =
       if (maxShingleFreq <= 0) sh
       else {
