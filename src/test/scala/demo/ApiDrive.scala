@@ -80,6 +80,49 @@ object ApiDrive {
       graft.crawl.Crawl.Config(scale = 100, limitPerSite = 20),
       graft.crawl.Pipeline.emptyCache(spark), java.sql.Timestamp.valueOf("2026-03-01 00:00:00"), topK = 10)
     println("pipeline sites with feeds: " + out.rss.count)
+
+    // 7. Similarity: codegen'd cosine kernel (SQL + Column), exact tile
+    // join vs LSH candidates
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("embeddings")
+    spark.sql(
+      """SELECT a.vec_id, cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                            CAST(a.embedding AS ARRAY<DOUBLE>)) AS self_sim
+        |FROM embeddings a LIMIT 3""".stripMargin).show(false)
+    val exactPairs = graft.operators.Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+    println("exact near-dup pairs: " + exactPairs.count)
+    val lshPairs = graft.operators.Similarity.nearDupPairsLsh(emb, "vec_id", "embedding", 0.4)
+    println("lsh near-dup pairs (low-threshold regime, expect <= exact): " + lshPairs.count)
+    // probe: mismatched dims / null vector
+    spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) n").show(false)
+
+    // 8. SSO-authenticated family: bootstrap + rejected unauthenticated fetch
+    val sso = graft.crawl.Sso.bootstrap("path.ssu.ac.kr")
+    println("sso session: " + sso.host + " cookie len " + sso.cookie.length)
+    try {
+      graft.crawl.SyntheticWeb.expand(
+        graft.crawl.SyntheticWeb.Req(
+          "https://path.ssu.ac.kr/ptfol/imng/icmpActWait.do?pageIndex=1",
+          "path.ssu.ac.kr", "list", 1, 0, 0), 100, 10, 0)
+      println("ERROR: unauthenticated fetch succeeded")
+    } catch { case e: IllegalStateException => println("auth guard: " + e.getMessage.take(80)) }
+
+    // 9. Calendar pipeline: year-page parse -> ICS with DTEND
+    val cal = graft.crawl.Pipeline.runCalendar(spark,
+      spark.emptyDataset[graft.model.CalendarEvent].toDF(),
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2026-12-31 23:59:59"), scale = 100)
+    println("calendar events: " + cal.events.count +
+      " DTEND lines: " + (cal.ics.split("DTEND:").length - 1))
+
+    // 10. Daemon failure channel: injected site failure -> error report
+    val dir = java.nio.file.Files.createTempDirectory("apidrive-daemon").toString
+    val res = graft.Daemon.run(spark, graft.Daemon.Options(out = s"$dir/out",
+      cache = s"$dir/cache", limit = 5, scale = 60,
+      include = Seq("biz.ssu.ac.kr", "bioinfo.ssu.ac.kr"),
+      failSites = Seq("bioinfo.ssu.ac.kr")))
+    println("daemon failed sites: " + res.failedSites.keySet +
+      " error_report rows: " + spark.read.json(s"$dir/out/reports/error_report").count)
     spark.stop()
   }
 }
