@@ -157,9 +157,13 @@ object Bench {
 
     // host calibration: fixed work PER THREAD, so perfect hardware gives a
     // flat time across thread counts; low/high ratio = what the host can
-    // express RIGHT NOW (the ceiling the crawl's ratio is read against)
-    def burnRun(cpus: Int): Double =
-      spawnPinned(cpus, "BENCHBURN", Seq("burn", cpus.toString))(1).toDouble
+    // express RIGHT NOW (the ceiling the crawl's ratio is read against).
+    // Returns (alu_secs, membw_secs) — the memory-bandwidth stream is the
+    // resource shuffle/scan stages actually contend on.
+    def burnRun(cpus: Int): (Double, Double) = {
+      val p = spawnPinned(cpus, "BENCHBURN", Seq("burn", cpus.toString))
+      (p(1).toDouble, p(2).toDouble)
+    }
 
     def timedRun(cpus: Int, warm: Boolean): (Double, (Long, Long, Long, Long), Long) = {
       if (pin) pinnedRun(cpus)
@@ -189,8 +193,8 @@ object Bench {
           (cpusHigh.toDouble / cpusLow)
         math.max(best, medianEff)
       }
-    val burnsLow = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val burnsHigh = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val burnsLow = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val burnsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     var round = 0
     while (round < maxRounds && (round < minRounds || bestEff() < target)) {
       if (pin) { burnsLow += burnRun(cpusLow); burnsHigh += burnRun(cpusHigh) }
@@ -232,9 +236,12 @@ object Bench {
         f""""scaling_efficiency_median":$efficiencyMedian%.3f,""" +
         s""""pinned_cores":$pin,""" +
         (if (burnsLow.nonEmpty)
-          f""""hardware_scaling_now":${burnsLow.min / burnsHigh.min}%.3f,""" +
-            s""""burn_low_sec":${burnsLow.map(b => f"$b%.2f").mkString("[", ",", "]")},""" +
-            s""""burn_high_sec":${burnsHigh.map(b => f"$b%.2f").mkString("[", ",", "]")},"""
+          f""""hardware_alu_scaling_now":${burnsLow.map(_._1).min / burnsHigh.map(_._1).min}%.3f,""" +
+            f""""hardware_membw_scaling_now":${burnsLow.map(_._2).min / burnsHigh.map(_._2).min}%.3f,""" +
+            s""""burn_low_sec":${burnsLow.map(b => f"${b._1}%.2f").mkString("[", ",", "]")},""" +
+            s""""burn_high_sec":${burnsHigh.map(b => f"${b._1}%.2f").mkString("[", ",", "]")},""" +
+            s""""membw_low_sec":${burnsLow.map(b => f"${b._2}%.2f").mkString("[", ",", "]")},""" +
+            s""""membw_high_sec":${burnsHigh.map(b => f"${b._2}%.2f").mkString("[", ",", "]")},"""
          else "") +
         s""""identical_output":$identical,""" +
         s""""runs_low_sec":${runsLowAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +

@@ -34,9 +34,36 @@ object BenchWorker {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Memory-bandwidth burn: `threads` threads each stream FIXED passes over
+    * their own 128 MB array. Perfect scaling = flat wall time; the low/high
+    * ratio calibrates the MEMORY subsystem — the resource Spark's
+    * shuffle/scan stages actually contend on (the ALU burn can read ~1.0
+    * while this reads far lower on a bandwidth-starved host). */
+  private def memBurn(threads: Int): Double = {
+    val words = 16 * 1024 * 1024 // 128 MB of longs per thread
+    val passes = 40
+    val arrays = Array.fill(threads)(new Array[Long](words))
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { s =>
+      val t = new Thread(() => {
+        val a = arrays(s)
+        var p = 0
+        while (p < passes) {
+          var i = 0
+          while (i < words) { a(i) = a(i) * 3L + 1L; i += 1 }
+          p += 1
+        }
+        if (a(0) == 42L) print("")
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     if (args(0) == "burn") {
-      println(f"BENCHBURN ${burn(args(1).toInt)}%.3f")
+      println(f"BENCHBURN ${burn(args(1).toInt)}%.3f ${memBurn(args(1).toInt)}%.3f")
       return
     }
     val cpus = args(0).toInt

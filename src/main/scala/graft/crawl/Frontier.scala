@@ -142,7 +142,20 @@ object Crawl {
       val shm = java.nio.file.Paths.get("/dev/shm")
       val base = if (java.nio.file.Files.isWritable(shm)) shm
                  else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      java.nio.file.Files.createTempDirectory(base, "graft-crawl-").toString
+      val dir = java.nio.file.Files.createTempDirectory(base, "graft-crawl-")
+      // transient stage-out is reclaimed at JVM exit — result DataFrames
+      // lazily re-read these files for the session's lifetime, so earlier
+      // deletion would break downstream consumers; without the hook every
+      // crawl leaks its wave files into tmpfs
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).forEach(rm(_))
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        try rm(dir) catch { case _: Throwable => () }
+      }))
+      dir.toString
     }
     val emptySchedule = Seq.empty[(Int, String, String, String, Long, String, Int, Int, Int, Long, Int)]
       .toDF("wave", "host", "url", "canonical", "url_hash", "site_id", "page", "row", "depth",
@@ -192,6 +205,13 @@ object Crawl {
         .filter(coalesce(!exists(col("disallow"),
           d => GraftFunctions.url_path(col("url")).startsWith(d)), lit(true)))
         .drop("disallow")
+        // like `canonical`, the host STRING is recomputed at stage-out; only
+        // its 8-byte hash travels through the wave's shuffles (the window
+        // groups by host_hash — 64-bit collisions across a host fleet are
+        // negligible, and the politeness spec verifies per-host spacing on
+        // the reconstructed column)
+        .withColumn("host_hash", xxhash64(col("host")))
+        .drop("host")
 
       // 2. in-wave dedup: keep the breadth-smallest order key per url_hash.
       // Two strategies (cfg via SPARK_GRAFT_DEDUP, default "window"):
@@ -230,12 +250,11 @@ object Crawl {
 
       // 4. politeness: per-host virtual clock from the robots crawl-delay
       //    (already joined at step 1)
-      val wHost = Window.partitionBy("host")
+      val wHost = Window.partitionBy("host_hash")
         .orderBy(col("depth"), col("site_id"), col("page"), col("row"))
       val scheduled = fresh
         .withColumn("ready_ms",
           (row_number().over(wHost) - 1).cast("long") * col("crawl_delay_ms"))
-        .withColumn("host_hash", xxhash64(col("host")))
         .withColumn("salt", pmod(col("url_hash"), lit(cfg.numSalts)))
 
       // 5. salted repartition for the fetch stage (defeats host skew — the
@@ -254,6 +273,7 @@ object Crawl {
       tick("stageout.write", wave) {
         scheduled.repartition(parallelism, col("host_hash"), col("salt"))
           .withColumn("canonical", GraftFunctions.url_canonicalize(col("url")))
+          .withColumn("host", GraftFunctions.url_host(col("url")))
           .withColumn("wave", lit(wave))
           .withColumn("partition_id", spark_partition_id())
           .write.mode("overwrite").parquet(wavePath)
