@@ -110,7 +110,7 @@ object Bench {
     // honest sampling) or maxRounds is hit — every run is reported in the
     // artifact, the minimum is the estimator.
     val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPEATS", "6").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPEATS", "5").toInt
     val target = sys.env.getOrElse("SPARK_GRAFT_BENCH_TARGET_EFF", "0.82").toDouble
 
     // Each measurement runs in a FRESH JVM pinned to its core budget
