@@ -266,6 +266,12 @@ object SparkEntry {
         bitsPerTable = 4, tables = 16)
     },
 
+    "q48_ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 3)
+    },
+
     // ---- text analysis ----
     "q31_token_count" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),

@@ -154,6 +154,67 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids is
+   * trained with a few deterministic Lloyd iterations (init = hash-order
+   * sample; assignment by the cosine kernel; centroid update is one
+   * groupBy-average per iteration — all distributed, only the tiny
+   * nlist x dim centroid table ever reaches the driver). The corpus is
+   * bucketed by nearest centroid; a query probes its `nprobe` nearest
+   * buckets and exact-reranks the candidates. `nprobe == nlist` degrades
+   * to exact brute force (asserted in the spec); smaller nprobe trades
+   * recall for a 1/nlist * nprobe scan fraction — the classic
+   * training-data-scale ANN layout (FAISS IVF-Flat shape).
+   */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val v = corpus.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    // deterministic init: the nlist hash-smallest vectors
+    var centroids: Array[Seq[Double]] = v
+      .orderBy(xxhash64(col("_id")), col("_id")).limit(nlist)
+      .collect().map(_.getSeq[Double](1))
+    def nearestExpr(cs: Array[Seq[Double]], vec: Column): Column = {
+      val sims = array(cs.map(c =>
+        GraftFunctions.cosine_sim(vec, typedlit(c))): _*)
+      // argmax (first max wins — deterministic)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+    // Lloyd iterations: assign -> per-dimension mean -> rebuild centroids
+    (0 until iters).foreach { _ =>
+      val assigned = v.select(nearestExpr(centroids, col("_v")).as("_c"),
+        posexplode(col("_v")).as(Seq("_pos", "_x")))
+      val means = assigned.groupBy("_c", "_pos").agg(avg(col("_x")).as("_m"))
+        .groupBy("_c").agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_s"))
+        .select(col("_c"), transform(col("_s"), e => e.getField("_m")).as("_centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    val bucketed = v.select(col("_id").as("neighbor_id"), col("_v").as("_cv"),
+      nearestExpr(centroids, col("_v")).as("_bucket"))
+    // each query probes its nprobe nearest buckets
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val qSims = array(centroids.map(c =>
+      GraftFunctions.cosine_sim(col("_qv"), typedlit(c))): _*)
+    val probed = q
+      .withColumn("_order", array_sort(
+        array(centroids.indices.map(i =>
+          struct((-qSims.getItem(i)).as("s"), lit(i).as("c"))): _*)))
+      .select(col("query_id"), col("_qv"),
+        explode(slice(transform(col("_order"), e => e.getField("c")), 1, nprobe))
+          .as("_bucket"))
+    val cands = probed.join(bucketed, Seq("_bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", GraftFunctions.cosine_sim(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
+  }
+
+  /**
    * LSH ANN: bucket corpus and queries by multiple independent signature
    * bands; candidates = bucket collisions; exact cosine re-rank within
    * candidates. `tables` independent hash tables trade memory for recall.

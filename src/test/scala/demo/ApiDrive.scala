@@ -95,6 +95,9 @@ object ApiDrive {
     println("lsh near-dup pairs (low-threshold regime, expect <= exact): " + lshPairs.count)
     // probe: mismatched dims / null vector
     spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) n").show(false)
+    val ivf = graft.operators.Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", 3, nlist = 4, nprobe = 2)
+    println("ivf ann rows: " + ivf.count)
 
     // 8. SSO-authenticated family: bootstrap + rejected unauthenticated fetch
     val sso = graft.crawl.Sso.bootstrap("path.ssu.ac.kr")

@@ -55,6 +55,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.7, s"ANN recall $recall")
   }
 
+  test("IVF ANN: full probe equals brute force exactly; partial probe keeps useful recall") {
+    val q = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val brute = key(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5))
+    // nprobe == nlist scans every bucket -> must match brute force exactly
+    val full = key(Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 8))
+    assert(full === brute)
+    // partial probe: candidates only from probed buckets, exact rerank
+    val part = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map { case (a, b, _) => (a, b) }
+    val recall = (part intersect bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.3, s"IVF nprobe=3/8 recall $recall") // random-vector fixture: bucket margins are thin
+    assert(part.size === bruteIds.size) // still returns a full top-k per query
+  }
+
   test("brute-force ANN self-consistency: top-1 neighbor of a duplicated vector is itself") {
     val dup = emb.limit(3).withColumn("vec_id", col("vec_id") + 1000000)
     val out = Similarity.bruteForceTopK(emb.unionByName(dup), dup, "vec_id", "embedding", 1)
