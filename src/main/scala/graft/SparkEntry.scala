@@ -385,6 +385,16 @@ object SparkEntry {
         .groupBy("kind").agg(count(lit(1)).as("n_spans"),
           countDistinct(col("doc_id")).as("n_docs"))),
 
+    // ---- self-feeding streaming crawl (§2.10): the wave loop as a
+    // Structured Streaming query over a watched frontier directory;
+    // equality with the batch crawl asserted in StreamingCrawlSpec ----
+    "q49_streaming_crawl" -> { (s, _) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-scrawl-q").toString
+      val r = graft.streaming.StreamingCrawl.run(s,
+        graft.crawl.Crawl.Config(scale = 60, limitPerSite = 10), dir)
+      r.posts.groupBy("site_id").agg(count(lit(1)).as("n_posts"))
+    },
+
     // ---- calendar path: year-page parse (P14) -> replace-in-range ->
     // ICS render with DTEND (K3/M3/M4) ----
     "q44_calendar" -> { (s, _) =>

@@ -82,6 +82,34 @@ object Crawl {
       // touches an auth-family site — NOT one per fetched row
       ssoBootstraps: org.apache.spark.util.LongAccumulator = null)
 
+  /**
+   * Per-partition fetch expansion shared by the batch waves and the
+   * streaming crawl: lazy once-per-host SSO bootstrap for auth-family
+   * sites (S8), then the deterministic synthetic fetch.
+   */
+  private[graft] def expandPartition(
+      it: Iterator[SyntheticWeb.Req], scale: Long, limit: Long, rev: Int,
+      probe: Boolean, onBootstrap: () => Unit): Iterator[ExpandRow] = {
+    val sessions = scala.collection.mutable.HashMap.empty[String, Sso.Session]
+    it.flatMap { req =>
+      val site = SyntheticWeb.siteById(req.site_id)
+      val session =
+        if (site.family == "auth")
+          Some(sessions.getOrElseUpdate(site.host, {
+            onBootstrap()
+            Sso.bootstrap(site.host)
+          }))
+        else None
+      val (post, links0) = SyntheticWeb.expand(req, scale, limit, rev, session)
+      // with the static pagination fan-out, list pages were all seeded at
+      // wave 0 — drop the rediscovered next-page links (they are in the
+      // seen set anyway; this just avoids scheduling work)
+      val links = if (probe) links0.filter(_.kind != "list") else links0
+      (post.map(p => ExpandRow(Some(p), None)) ++
+        links.map(l => ExpandRow(None, Some(l)))).iterator
+    }
+  }
+
   /** robots rules per host (parsed from the synthetic robots.txt bodies):
     * crawl-delay feeds the politeness clock; Disallow prefixes filter the
     * frontier. Co-hosted sites share one bucket (max delay wins). */
@@ -293,26 +321,8 @@ object Crawl {
       val expanded = fetchInput
         .select("url", "site_id", "kind", "page", "row", "depth")
         .as[SyntheticWeb.Req]
-        .mapPartitions { it =>
-          val sessions = scala.collection.mutable.HashMap.empty[String, Sso.Session]
-          it.flatMap { req =>
-            val site = SyntheticWeb.siteById(req.site_id)
-            val session =
-              if (site.family == "auth")
-                Some(sessions.getOrElseUpdate(site.host, {
-                  ssoBootstraps.add(1L)
-                  Sso.bootstrap(site.host)
-                }))
-              else None
-            val (post, links0) = SyntheticWeb.expand(req, scale, limit, rev, session)
-            // with the static pagination fan-out, list pages were all seeded
-            // at wave 0 — drop the rediscovered next-page links (they are in
-            // the seen set anyway; this just avoids scheduling work)
-            val links = if (probe) links0.filter(_.kind != "list") else links0
-            (post.map(p => ExpandRow(Some(p), None)) ++
-              links.map(l => ExpandRow(None, Some(l)))).iterator
-          }
-        }
+        .mapPartitions(it =>
+          expandPartition(it, scale, limit, rev, probe, () => ssoBootstraps.add(1L)))
 
       // Only the (small) discovered-link frontier is cached; the wave's
       // documents stay LAZY views over the persisted fetchInput — caching
