@@ -49,6 +49,28 @@ class PlanAuditSpec extends SparkSuite {
     assert("\\(\\d+\\) Project \\[codegen id".r.findFirstIn(formatted).isDefined, formatted)
   }
 
+  test("near-dup pairs (q45): tile equi-join + codegen'd cosine kernel, no nested-loop join") {
+    val df = SparkEntry.queries("q45_embedding_neardup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") || plan.contains("_tile"),
+      "the pair stage must be an equi-join keyed by tile, not an all-pairs BNLJ")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("static_invoke") || formatted.contains("cosineSim"),
+      "cosine must be the StaticInvoke kernel, not an interpreted HOF fold")
+  }
+
+  test("DSv2 source (q46): site pruning + limit + column pruning visible in the scan") {
+    val df = spark.read.format("graft.sources.WebSource")
+      .option("scale", "100").option("limit_per_site", "10").load()
+      .filter(col("site_id") === "biz.ssu.ac.kr")
+      .select("site_id", "title").limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("sites=biz.ssu.ac.kr"), plan.take(600))
+    assert(plan.contains("pushedLimit=5"), plan.take(600))
+    assert(plan.contains("readColumns=site_id,title"), plan.take(600))
+  }
+
   test("merge join keys: the MERGE shuffles on (site_id, id) exactly once per side (q04)") {
     val plan = planOf("q04_merge_upsert")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
