@@ -50,6 +50,14 @@ import graft.model.Post
 /** One output row of the fetch stage: a document or a discovered link. */
 final case class ExpandRow(post: Option[Post], link: Option[SyntheticWeb.Req])
 
+/** A frontier row entering the fused dedup+politeness pass. */
+final case class WaveRow(url: String, site_id: String, kind: String, page: Int, row: Int,
+    depth: Int, crawl_delay_ms: Int, url_hash: Long, host_hash: Long)
+
+/** A scheduled row leaving the fused pass (politeness clock assigned). */
+final case class RankedRow(url: String, site_id: String, kind: String, page: Int, row: Int,
+    depth: Int, crawl_delay_ms: Int, url_hash: Long, host_hash: Long, ready_ms: Long)
+
 object Crawl {
 
   val DefaultSeed = 42L
@@ -241,49 +249,90 @@ object Crawl {
         .withColumn("host_hash", xxhash64(col("host")))
         .drop("host")
 
-      // 2. in-wave dedup: keep the breadth-smallest order key per url_hash.
-      // Two strategies (cfg via SPARK_GRAFT_DEDUP, default "window"):
-      //  - "minby": hash aggregation with map-side combine — wins when
-      //    duplicate discovery is common (the real-web case: every page
-      //    links its neighbors), as dupes collapse before the shuffle;
-      //  - "window": sort-based row_number — wins when URLs are mostly
-      //    unique (the aggregation hash map of full rows is overhead);
-      //    measured ~20% faster on the synthetic graph (mostly-unique
-      //    links), hence the default here.
+      // fetch-stage task count follows the session's reducer knob (finer
+      // than core count so stragglers overlap), not the raw core count
+      val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+      // 2-4. in-wave dedup (breadth-smallest order key per url_hash) +
+      // seen-set filter + politeness clock. Strategies via SPARK_GRAFT_DEDUP:
+      //  - "fused" (default): seen-filter first (Bloom prefilter: the big
+      //    slice never joins), then ONE exchange clusters each host's rows —
+      //    duplicates of a URL always share the host, so a single sorted
+      //    per-partition pass does the exact dedup AND assigns the per-host
+      //    politeness rank. One wave exchange + one local sort where the
+      //    split strategies pay two of each (dedup shuffle + window
+      //    exchange) — shuffle bytes are the scaling-limited resource;
+      //  - "window": dedup via row_number over a url_hash window, then the
+      //    separate host window (the round-1 shape, kept for A/B);
+      //  - "minby": dedup via hash aggregation with map-side combine — wins
+      //    when duplicate discovery is common (the real-web case), as dupes
+      //    collapse before the shuffle.
       val keyedCols = keyed.columns
-      val dedupStrategy = sys.env.getOrElse("SPARK_GRAFT_DEDUP", "window")
-      val inWave =
-        if (wave == 0 && cfg.seedsDistinct) {
-          // the seed wave is distinct BY CONSTRUCTION (one URL per
-          // (site, page); distinct sites have distinct base URLs) — the
-          // in-wave dedup shuffle would hash-aggregate the whole seed set
-          // for zero eliminations. Discovered waves (wave > 0) always dedup.
-          keyed
-        } else if (dedupStrategy == "window") {
-          val wDedup = Window.partitionBy("url_hash")
+      val dedupStrategy = sys.env.getOrElse("SPARK_GRAFT_DEDUP", "fused")
+      val scheduled =
+        if (dedupStrategy == "fused") {
+          val fresh0 = tick("sketch+filterNew(build)", wave)(
+            SeenSet.filterNew(keyed, seenAll, "url_hash", seenCount, cfg.seenSketch))
+          fresh0.select(col("url"), col("site_id"), col("kind"), col("page"), col("row"),
+              col("depth"), col("crawl_delay_ms"), col("url_hash"), col("host_hash"))
+            .as[WaveRow]
+            // finer than the reducer knob: a host cannot split across
+            // partitions (the politeness rank needs the host contiguous),
+            // so the hot host is a fixed-size task — smaller sibling tasks
+            // let the scheduler overlap it instead of idling at the barrier
+            .repartition(parallelism * 4, col("host_hash"))
+            .sortWithinPartitions(col("host_hash"), col("depth"), col("site_id"),
+              col("page"), col("row"), col("url_hash"))
+            .mapPartitions { it =>
+              // hosts are hash-disjoint across partitions and contiguous
+              // after the sort: the dedup set resets per host, so memory is
+              // bounded by the hottest host's wave slice (8 B per URL)
+              val seenUrl = new java.util.HashSet[java.lang.Long]()
+              var curHost = 0L
+              var rank = 0L
+              var started = false
+              it.flatMap { r =>
+                if (!started || r.host_hash != curHost) {
+                  curHost = r.host_hash; rank = 0L; seenUrl.clear(); started = true
+                }
+                if (seenUrl.add(r.url_hash)) {
+                  val out = RankedRow(r.url, r.site_id, r.kind, r.page, r.row, r.depth,
+                    r.crawl_delay_ms, r.url_hash, r.host_hash,
+                    rank * r.crawl_delay_ms)
+                  rank += 1
+                  Some(out)
+                } else None
+              }
+            }
+            .toDF()
+            .withColumn("salt", pmod(col("url_hash"), lit(cfg.numSalts)))
+        } else {
+          val inWave =
+            if (wave == 0 && cfg.seedsDistinct) {
+              // the seed wave is distinct BY CONSTRUCTION (one URL per
+              // (site, page); distinct sites have distinct base URLs)
+              keyed
+            } else if (dedupStrategy == "window") {
+              val wDedup = Window.partitionBy("url_hash")
+                .orderBy(col("depth"), col("site_id"), col("page"), col("row"))
+              keyed.withColumn("_rn", row_number().over(wDedup))
+                .filter(col("_rn") === 1).drop("_rn")
+            } else keyed
+              .groupBy("url_hash")
+              .agg(min_by(
+                struct(keyedCols.filter(_ != "url_hash").map(col): _*),
+                struct(col("depth"), col("site_id"), col("page"), col("row"))).as("_r"))
+              .select(col("url_hash") +: keyedCols.filter(_ != "url_hash")
+                .map(c => col(s"_r.$c").as(c)): _*)
+          val fresh = tick("sketch+filterNew(build)", wave)(
+            SeenSet.filterNew(inWave, seenAll, "url_hash", seenCount, cfg.seenSketch))
+          val wHost = Window.partitionBy("host_hash")
             .orderBy(col("depth"), col("site_id"), col("page"), col("row"))
-          keyed.withColumn("_rn", row_number().over(wDedup))
-            .filter(col("_rn") === 1).drop("_rn")
-        } else keyed
-          .groupBy("url_hash")
-          .agg(min_by(
-            struct(keyedCols.filter(_ != "url_hash").map(col): _*),
-            struct(col("depth"), col("site_id"), col("page"), col("row"))).as("_r"))
-          .select(col("url_hash") +: keyedCols.filter(_ != "url_hash")
-            .map(c => col(s"_r.$c").as(c)): _*)
-
-      // 3. seen-set filter (bloom + exact anti-join)
-      val fresh = tick("sketch+filterNew(build)", wave)(
-        SeenSet.filterNew(inWave, seenAll, "url_hash", seenCount, cfg.seenSketch))
-
-      // 4. politeness: per-host virtual clock from the robots crawl-delay
-      //    (already joined at step 1)
-      val wHost = Window.partitionBy("host_hash")
-        .orderBy(col("depth"), col("site_id"), col("page"), col("row"))
-      val scheduled = fresh
-        .withColumn("ready_ms",
-          (row_number().over(wHost) - 1).cast("long") * col("crawl_delay_ms"))
-        .withColumn("salt", pmod(col("url_hash"), lit(cfg.numSalts)))
+          fresh
+            .withColumn("ready_ms",
+              (row_number().over(wHost) - 1).cast("long") * col("crawl_delay_ms"))
+            .withColumn("salt", pmod(col("url_hash"), lit(cfg.numSalts)))
+        }
 
       // 5. salted repartition for the fetch stage (defeats host skew — the
       // window's by-host exchange leaves the hot host in one partition, so
@@ -294,9 +343,6 @@ object Crawl {
       // and is pure GC pressure at 10^10 — stage-out to storage is the
       // 100 TB design, and every downstream consumer (counts, seen-set,
       // lineage, the fetch stage itself) reads the columnar file back.
-      // fetch-stage task count follows the session's reducer knob (finer
-      // than core count so stragglers overlap), not the raw core count
-      val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val wavePath = s"$workDir/waves/w$wave/schedule"
       tick("stageout.write", wave) {
         scheduled.repartition(parallelism, col("host_hash"), col("salt"))
