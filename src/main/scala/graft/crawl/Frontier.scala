@@ -58,6 +58,29 @@ final case class WaveRow(url: String, site_id: String, kind: String, page: Int, 
 final case class RankedRow(url: String, site_id: String, kind: String, page: Int, row: Int,
     depth: Int, crawl_delay_ms: Int, url_hash: Long, host_hash: Long, ready_ms: Long)
 
+/**
+ * JVM-wide registry of transient crawl work dirs, reclaimed by ONE shutdown
+ * hook (registering a hook per Crawl.run would accumulate threads in
+ * long-lived sessions). Deletion walks depth-first with the directory
+ * stream closed eagerly (Files.walk in try/finally — Files.list left open
+ * leaks an fd per directory during the recursive delete).
+ */
+private[crawl] object TempDirs {
+  private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    dirs.forEach { dir =>
+      try {
+        val walk = java.nio.file.Files.walk(dir)
+        try {
+          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } finally walk.close()
+      } catch { case _: Throwable => () }
+    }
+  }))
+  def register(dir: java.nio.file.Path): Unit = { hook; dirs.add(dir); () }
+}
+
 object Crawl {
 
   val DefaultSeed = 42L
@@ -181,16 +204,9 @@ object Crawl {
       val dir = java.nio.file.Files.createTempDirectory(base, "graft-crawl-")
       // transient stage-out is reclaimed at JVM exit — result DataFrames
       // lazily re-read these files for the session's lifetime, so earlier
-      // deletion would break downstream consumers; without the hook every
-      // crawl leaks its wave files into tmpfs
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.list(p).forEach(rm(_))
-          java.nio.file.Files.deleteIfExists(p)
-        }
-        try rm(dir) catch { case _: Throwable => () }
-      }))
+      // deletion would break downstream consumers; without the cleanup
+      // every crawl leaks its wave files into tmpfs
+      TempDirs.register(dir)
       dir.toString
     }
     val emptySchedule = Seq.empty[(Int, String, String, String, Long, String, Int, Int, Int, Long, Int)]

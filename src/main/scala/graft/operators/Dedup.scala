@@ -77,24 +77,33 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
-    // cache barrier: the exploded shingle table feeds the df-cut, the
+    // Staging barrier: the exploded shingle table feeds the df-cut, the
     // per-doc sizes, and BOTH self-join sides — without it the (expensive)
     // tokenize+shingle explode recomputes once per consumer (at cluster
-    // scale this staging would be a checkpoint to storage)
+    // scale this staging would be a checkpoint to storage). localCheckpoint
+    // (not cache) so the blocks are reclaimed with the plan when the result
+    // DataFrame is dropped — repeated invocations don't accumulate pinned
+    // executor storage.
+    // The shingle STRING never enters a shuffle: every downstream consumer
+    // (df-cut groupBy, self-join, intersection count) keys on its 8-byte
+    // xxhash64 — 3-gram strings are 20-40 bytes, so hashing cuts the
+    // dominant shuffle's bytes 3-5x (64-bit collisions are negligible
+    // against per-document shingle sets).
     val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .cache()
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("_shingle"))
+      .select(col("id"), xxhash64(col("_shingle")).as("shingle_h"))
+      .localCheckpoint()
     val filtered =
       if (maxShingleFreq <= 0) sh
       else {
-        val hot = sh.groupBy("shingle").count().filter(col("count") > maxShingleFreq)
-          .select("shingle")
-        sh.join(hot, Seq("shingle"), "left_anti")
+        val hot = sh.groupBy("shingle_h").count().filter(col("count") > maxShingleFreq)
+          .select("shingle_h")
+        sh.join(hot, Seq("shingle_h"), "left_anti")
       }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select(col("id").as("a"), col("shingle"))
-    val b = filtered.select(col("id").as("b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+    val a = filtered.select(col("id").as("a"), col("shingle_h"))
+    val b = filtered.select(col("id").as("b"), col("shingle_h"))
+    val inter = a.join(b, Seq("shingle_h")).filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("a"), col("n_sh").as("na")), Seq("a"))
@@ -140,9 +149,11 @@ object Dedup {
     val numHashes = numBands * rowsPerBand
     // two projections with a no-inline barrier between shingling and the
     // per-mixer folds (CollapseProject would otherwise duplicate the
-    // shingle computation numHashes times)
+    // shingle computation numHashes times); localCheckpoint (not cache) so
+    // the staged blocks are reclaimed with the plan, not pinned until an
+    // external clearCache()
     val hashed = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), n).as("_shh")).cache()
+      shingleHashes(col(textCol), n).as("_shh")).localCheckpoint()
     val sig = hashed.select(col("id"),
       minhashSignatureFromHashes(col("_shh"), numHashes).as("sig"))
     val bands = sig.select(col("id"), posexplode(

@@ -169,39 +169,44 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     val v = corpus.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
     // deterministic init: the nlist hash-smallest vectors
     var centroids: Array[Seq[Double]] = v
       .orderBy(xxhash64(col("_id")), col("_id")).limit(nlist)
       .collect().map(_.getSeq[Double](1))
-    def nearestExpr(cs: Array[Seq[Double]], vec: Column): Column = {
-      val sims = array(cs.map(c =>
-        GraftFunctions.cosine_sim(vec, typedlit(c))): _*)
-      // argmax (first max wins — deterministic)
-      (array_position(sims, array_max(sims)) - 1).cast("int")
-    }
+    // The centroid matrix rides as DATA (a broadcast single-row table),
+    // never as expression-tree literals: plan/codegen size is O(1) in
+    // nlist, so production nlist (thousands) neither blows up the driver
+    // nor re-plans a giant expression every Lloyd iteration. The join is a
+    // 1-row broadcast (every task gets the matrix once); all per-row work
+    // stays in array expressions over the joined column.
+    def withSims(df: DataFrame, vec: Column): DataFrame =
+      df.crossJoin(broadcast(Seq(Tuple1(centroids.toSeq)).toDF("_cents")))
+        .withColumn("_sims", transform(col("_cents"),
+          c => GraftFunctions.cosine_sim(vec, c)))
+        .drop("_cents")
+    // argmax (first max wins — deterministic)
+    def bucketOf: Column = (array_position(col("_sims"), array_max(col("_sims"))) - 1).cast("int")
     // Lloyd iterations: assign -> per-dimension mean -> rebuild centroids
     (0 until iters).foreach { _ =>
-      val assigned = v.select(nearestExpr(centroids, col("_v")).as("_c"),
-        posexplode(col("_v")).as(Seq("_pos", "_x")))
+      val assigned = withSims(v, col("_v"))
+        .select(bucketOf.as("_c"), posexplode(col("_v")).as(Seq("_pos", "_x")))
       val means = assigned.groupBy("_c", "_pos").agg(avg(col("_x")).as("_m"))
         .groupBy("_c").agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_s"))
         .select(col("_c"), transform(col("_s"), e => e.getField("_m")).as("_centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
     }
-    val bucketed = v.select(col("_id").as("neighbor_id"), col("_v").as("_cv"),
-      nearestExpr(centroids, col("_v")).as("_bucket"))
+    val bucketed = withSims(v, col("_v"))
+      .select(col("_id").as("neighbor_id"), col("_v").as("_cv"), bucketOf.as("_bucket"))
     // each query probes its nprobe nearest buckets
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
-    val qSims = array(centroids.map(c =>
-      GraftFunctions.cosine_sim(col("_qv"), typedlit(c))): _*)
-    val probed = q
-      .withColumn("_order", array_sort(
-        array(centroids.indices.map(i =>
-          struct((-qSims.getItem(i)).as("s"), lit(i).as("c"))): _*)))
+    val probed = withSims(q, col("_qv"))
+      .withColumn("_order", array_sort(transform(col("_sims"),
+        (s, i) => struct((-s).as("s"), i.as("c")))))
       .select(col("query_id"), col("_qv"),
         explode(slice(transform(col("_order"), e => e.getField("c")), 1, nprobe))
           .as("_bucket"))

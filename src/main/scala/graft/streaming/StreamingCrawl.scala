@@ -71,13 +71,13 @@ object StreamingCrawl {
           .filter(coalesce(!exists(col("disallow"),
             d => GraftFunctions.url_path(col("url")).startsWith(d)), lit(true)))
           .dropDuplicates("url_hash")
-        val seen =
-          try s.read.parquet(seenDir)
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition == "PATH_NOT_FOUND" =>
-                Seq.empty[Long].toDF("url_hash")
-          }
+        // same first-run semantics as the batch cache: ONLY a cleanly
+        // missing path is empty — a missing dir WITH `.old` swap leftovers
+        // (crash between the two renames below, then checkpoint resume)
+        // fails loudly instead of silently restarting the seen set from
+        // empty and re-fetching history into the append-mode posts dir
+        val seen = StreamingMerge.readSnapshotOr(s, seenDir)(
+          Seq.empty[Long].toDF("url_hash"))
         val fresh = keyed.join(seen, Seq("url_hash"), "left_anti")
           .select("url_hash", "url", "site_id", "kind", "page", "row", "depth")
           .cache()

@@ -52,12 +52,32 @@ class PlanAuditSpec extends SparkSuite {
   test("near-dup pairs (q45): tile equi-join + codegen'd cosine kernel, no nested-loop join") {
     val df = SparkEntry.queries("q45_embedding_neardup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") || plan.contains("_tile"),
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
       "the pair stage must be an equi-join keyed by tile, not an all-pairs BNLJ")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*_tile".r
+      .findFirstIn(plan.linesIterator.mkString(" ")).isDefined ||
+      plan.linesIterator.exists(l =>
+        l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*") &&
+          l.contains("_tile")),
+      s"the equi-join's key list must contain _tile:\n${plan.take(2000)}")
     val formatted = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert(formatted.contains("static_invoke") || formatted.contains("cosineSim"),
       "cosine must be the StaticInvoke kernel, not an interpreted HOF fold")
+  }
+
+  test("IVF ANN (q48): centroids ride as broadcast data, not plan literals, at production nlist") {
+    // nlist=256 x dim=64 doubles as expression literals would put ~300 KB of
+    // digits (x2: corpus assignment + query probing) into the plan and
+    // codegen; as a broadcast single-row table the plan stays O(1) in nlist
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val df = graft.operators.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nlist = 256, nprobe = 2, iters = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.length < 100000, s"plan blew up (${plan.length} chars): centroid literals leaked")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the centroid matrix must arrive via a broadcast join")
   }
 
   test("DSv2 source (q46): site pruning + limit + column pruning visible in the scan") {
@@ -69,6 +89,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("sites=biz.ssu.ac.kr"), plan.take(600))
     assert(plan.contains("pushedLimit=5"), plan.take(600))
     assert(plan.contains("readColumns=site_id,title"), plan.take(600))
+  }
+
+  test("incremental daemon merge: untouched cache partitions prune at the scan and never shuffle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-incr").toString
+    (1 to 300).map(i => (s"site_${i % 3}", i.toString, s"t$i", 0L))
+      .toDF("site_id", "id", "title", "rank")
+      .write.partitionBy("site_id").parquet(s"$dir/cache")
+    val cache = spark.read.parquet(s"$dir/cache")
+    val touchedSites = Seq("site_0")
+    // the untouched branch (passed through to the merged view, never
+    // rewritten): partition-pruned scan, NO Exchange anywhere in its plan
+    val untouched = cache.filter(!col("site_id").isin(touchedSites: _*))
+    val uPlan = untouched.queryExecution.executedPlan.toString
+    assert(!uPlan.contains("Exchange"), s"untouched cache side must not shuffle:\n$uPlan")
+    assert(uPlan.contains("PartitionFilters") && uPlan.contains("site_0"),
+      s"site filter must prune partitions at the scan:\n${uPlan.take(1200)}")
+    // the touched branch scans ONLY the crawled sites' partitions: the
+    // merge's shuffle is bounded by the batch, not the cache
+    val touched = cache.filter(col("site_id").isin(touchedSites: _*))
+    val tPlan = touched.queryExecution.executedPlan.toString
+    assert(tPlan.contains("PartitionFilters") && tPlan.contains("site_0"),
+      s"touched slice must partition-prune:\n${tPlan.take(1200)}")
   }
 
   test("merge join keys: the MERGE shuffles on (site_id, id) exactly once per side (q04)") {

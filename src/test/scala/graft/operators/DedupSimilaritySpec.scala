@@ -73,6 +73,17 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(part.size === bruteIds.size) // still returns a full top-k per query
   }
 
+  test("IVF ANN at production nlist=256 on sf0.1: full probe still equals brute force") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = emb01.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val brute = key(Similarity.bruteForceTopK(emb01, q, "vec_id", "embedding", 5))
+    val full = key(Similarity.ivfTopK(emb01, q, "vec_id", "embedding", 5,
+      nlist = 256, nprobe = 256, iters = 1))
+    assert(full === brute)
+  }
+
   test("brute-force ANN self-consistency: top-1 neighbor of a duplicated vector is itself") {
     val dup = emb.limit(3).withColumn("vec_id", col("vec_id") + 1000000)
     val out = Similarity.bruteForceTopK(emb.unionByName(dup), dup, "vec_id", "embedding", 1)
