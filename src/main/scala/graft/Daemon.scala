@@ -114,6 +114,8 @@ object Daemon {
 
   def run(spark: SparkSession, opts: Options): RunResult = {
     import spark.implicits._
+    // The cache is a site_id-PARTITIONED parquet table (the distributed
+    // analog of the reference's per-site cache files, mod.rs:269-301).
     // ONLY a missing path is a first run; corruption/permissions/IO errors
     // propagate (reference daemon read_cache special-cases NotFound only)
     val cache = graft.streaming.StreamingMerge.readSnapshotOr(spark, opts.cache)(
@@ -136,15 +138,38 @@ object Daemon {
       ((col("page").cast("long") * 1000000L) + col("row")).as("seq"))
     val newPosts = crawl.posts.join(order, Seq("url"), "left")
       .withColumn("seq", coalesce(col("seq"), lit(0L)))
-    val merged = graft.operators.Merge.mergeEntries(cache, newPosts, opts.now)
-    val top = graft.operators.Merge.topKPerSite(merged.posts, opts.limit.toInt)
+
+    // INCREMENTAL merge — the product path for a 10^10-row cache:
+    //  - only the crawled sites' partitions are SCANNED (partition pruning
+    //    on the isin filter — untouched sites contribute zero read or
+    //    shuffle rows to the merge);
+    //  - the merge's full-outer shuffle is bounded by the crawl batch, not
+    //    the cache size;
+    //  - only the crawled sites' partitions are REWRITTEN (dynamic
+    //    partition overwrite below) — a bounded per-run batch never
+    //    rewrites the full cache state.
+    val touched = liveSiteIds
+    val cacheTouched = cache.filter(col("site_id").isin(touched: _*))
+    val cacheUntouched = cache.filter(!col("site_id").isin(touched: _*))
+    val merged = graft.operators.Merge.mergeEntries(cacheTouched, newPosts, opts.now)
+    // bounded slice; localCheckpoint both stages it once for the several
+    // consumers below AND breaks the cache-read lineage so the dynamic
+    // overwrite may write back to the same path it was read from
+    val touchedPosts = merged.posts.localCheckpoint()
+    // sinks cover the sites this run crawled (the reference daemon emits
+    // outputs per crawled plugin, main.rs:192-243 — untouched sites keep
+    // their previous outputs and are neither scanned nor rewritten)
+    val top = graft.operators.Merge.topKPerSite(touchedPosts, opts.limit.toInt)
 
     // crawl_failed events join the content events (reference writes both
     // the content report and the error report, main.rs:300-340)
     val failEvents = failedSites.toSeq
       .map { case (site, e) => (site, "crawl_failed", null: String, e.getMessage, null: String) }
       .toDF("site_id", "event", "post_id", "title", "url")
-    val events = merged.events.unionByName(failEvents)
+    // checkpointed like touchedPosts: the event rows read the touched cache
+    // partitions, which the dynamic overwrite below REPLACES — a lazy plan
+    // would dangle on the pre-overwrite file listing
+    val events = merged.events.unionByName(failEvents).localCheckpoint()
 
     // sinks (cli main.rs:192-243 layout)
     graft.sinks.SiteJson.write(graft.sinks.SiteJson.perSite(top), s"${opts.out}/sites")
@@ -168,12 +193,21 @@ object Daemon {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${opts.out}/calendar.ics"), cal.ics)
 
-    // persist next-run caches (snapshot-swap)
-    merged.posts.write.mode("overwrite").parquet(s"${opts.cache}_next")
+    // persist the cache INCREMENTALLY: dynamic partition overwrite rewrites
+    // ONLY the crawled sites' partitions (per-partition staging+rename
+    // commit); every other site's files are untouched on disk — the
+    // scale-safe analog of the reference's per-site cache persistence
+    // (mod.rs:269-301). The calendar cache stays a (small) snapshot swap.
+    touchedPosts.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("site_id")
+      .parquet(opts.cache)
     cal.cache.write.mode("overwrite").parquet(s"${opts.cache}_calendar_next")
 
+    val fullCache = cacheUntouched.select(touchedPosts.columns.map(col): _*)
+      .unionByName(touchedPosts)
     RunResult(
-      Pipeline.Output(top, merged.posts, graft.sinks.SiteJson.perSite(top),
+      Pipeline.Output(top, fullCache, graft.sinks.SiteJson.perSite(top),
         graft.sinks.Rss.perSite(top), events, crawl.schedule, crawl.lineage),
       failedSites)
   }

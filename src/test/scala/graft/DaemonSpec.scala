@@ -41,9 +41,58 @@ class DaemonSpec extends SparkSuite {
       java.nio.file.Paths.get(s"$dir/out/calendar.ics"))
     assert(ics.startsWith("BEGIN:VCALENDAR"))
 
-    // next-run cache persisted and usable
-    val next = spark.read.parquet(s"$dir/cache_next")
+    // next-run cache persisted (site_id-partitioned) and usable
+    val next = spark.read.parquet(s"$dir/cache")
     assert(next.count() === out.cache.count())
+  }
+
+  test("incremental cache: a second run rewrites ONLY the crawled sites' partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-daemon-incr").toString
+    // limit 20 so biz's crawl window (ids 30..11 at scale 60 / zipf 2)
+    // covers id 17 — the deterministic rev-1 content-drift id
+    val base = Daemon.Options(out = s"$dir/out", cache = s"$dir/cache",
+      limit = 20, scale = 60,
+      include = Seq("biz.ssu.ac.kr", "bioinfo.ssu.ac.kr"))
+    Daemon.run(spark, base)
+
+    def cacheFiles(): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(s"$dir/cache")
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString ->
+            (java.nio.file.Files.size(p), java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toMap
+      } finally walk.close()
+    }
+    val before = cacheFiles()
+    assert(before.keys.exists(_.contains("site_id=biz.ssu.ac.kr")))
+    assert(before.keys.exists(_.contains("site_id=bioinfo.ssu.ac.kr")))
+
+    // second run crawls ONLY biz at rev 1 (content drift -> real updates)
+    val res2 = Daemon.run(spark, base.copy(include = Seq("biz.ssu.ac.kr"), rev = 1,
+      now = java.sql.Timestamp.valueOf("2026-01-16 00:00:00")))
+    val after = cacheFiles()
+
+    // bioinfo's partition files: byte-identical, not even re-stamped
+    val bioBefore = before.filter(_._1.contains("site_id=bioinfo"))
+    val bioAfter = after.filter(_._1.contains("site_id=bioinfo"))
+    assert(bioBefore === bioAfter, "untouched site partition must not be rewritten")
+    // biz's partition WAS rewritten (rev-1 drift creates/updates posts)
+    assert(before.filter(_._1.contains("site_id=biz.ssu.ac.kr")) !==
+      after.filter(_._1.contains("site_id=biz.ssu.ac.kr")))
+
+    // and the merged state is correct: bioinfo rows survive untouched,
+    // biz carries the rev-1 updates (merge events observed them)
+    val cache = spark.read.parquet(s"$dir/cache")
+    val bioRows = cache.filter(col("site_id") === "bioinfo.ssu.ac.kr").count()
+    assert(bioRows > 0)
+    assert(res2.pipeline.events
+      .filter(col("event").isin("post_created", "post_updated")).count() > 0)
+    assert(cache.filter(col("site_id") === "biz.ssu.ac.kr")
+      .filter(col("content").contains("[개정판 rev1]")).count() > 0)
   }
 
   test("--include prunes sites BEFORE the crawl: only included sites are ever scheduled") {
