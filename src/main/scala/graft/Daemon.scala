@@ -43,7 +43,10 @@ object Daemon {
       // fault injection for the synthetic web: listed sites fail every
       // preflight attempt (the reference tests inject failing plugins the
       // same way to drive the error_report / exit-status path)
-      failSites: Seq[String] = Seq.empty)
+      failSites: Seq[String] = Seq.empty,
+      // mid-crawl fetch faults ((site, wave) -> failing attempts): drives
+      // the whole-site retry path INSIDE the wave (reference mod.rs:38-93)
+      failFetch: Map[(String, Int), Int] = Map.empty)
 
   /** A daemon run: the pipeline output plus the per-site failure tally
     * (reference error tally, cli main.rs:118-125). */
@@ -68,6 +71,11 @@ object Daemon {
         case "--calendar-end"   => o = o.copy(calendarEnd = args(i + 1)); i += 2
         case "--now"            => o = o.copy(now = Timestamp.valueOf(args(i + 1))); i += 2
         case "--fail-sites"     => o = o.copy(failSites = args(i + 1).split(",").toSeq); i += 2
+        case "--fail-fetch" => // site:wave:attempts[,site:wave:attempts...]
+          o = o.copy(failFetch = args(i + 1).split(",").map { f =>
+            val Array(s, w, n) = f.split(":")
+            (s, w.toInt) -> n.toInt
+          }.toMap); i += 2
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }
@@ -131,8 +139,12 @@ object Daemon {
     val liveSiteIds = selectedSites.map(_.site_id).filter(okSites.contains)
 
     val cfg = Crawl.Config(scale = opts.scale, limitPerSite = opts.limit,
-      rev = opts.rev, snapshotDir = opts.snapshotDir, include = liveSiteIds)
+      rev = opts.rev, snapshotDir = opts.snapshotDir, include = liveSiteIds,
+      faults = opts.failFetch)
     val crawl = Crawl.run(spark, cfg)
+    // preflight failures + mid-crawl retry exhaustion feed ONE error tally
+    // (reference cli main.rs:118-125 — any failed site fails the run)
+    val allFailed = failedSites ++ crawl.failedSites
 
     val order = crawl.schedule.select(col("url"),
       ((col("page").cast("long") * 1000000L) + col("row")).as("seq"))
@@ -148,7 +160,9 @@ object Daemon {
     //  - only the crawled sites' partitions are REWRITTEN (dynamic
     //    partition overwrite below) — a bounded per-run batch never
     //    rewrites the full cache state.
-    val touched = liveSiteIds
+    // a site that failed mid-crawl keeps its previous cache partition
+    // untouched (a failed plugin run must not disturb persisted state)
+    val touched = liveSiteIds.filterNot(crawl.failedSites.keySet)
     val cacheTouched = cache.filter(col("site_id").isin(touched: _*))
     val cacheUntouched = cache.filter(!col("site_id").isin(touched: _*))
     val merged = graft.operators.Merge.mergeEntries(cacheTouched, newPosts, opts.now)
@@ -163,7 +177,7 @@ object Daemon {
 
     // crawl_failed events join the content events (reference writes both
     // the content report and the error report, main.rs:300-340)
-    val failEvents = failedSites.toSeq
+    val failEvents = allFailed.toSeq
       .map { case (site, e) => (site, "crawl_failed", null: String, e.getMessage, null: String) }
       .toDF("site_id", "event", "post_id", "title", "url")
     // checkpointed like touchedPosts: the event rows read the touched cache
@@ -176,7 +190,7 @@ object Daemon {
     graft.sinks.Rss.perSite(top).repartition(col("site_id"))
       .write.mode("overwrite").partitionBy("site_id").text(s"${opts.out}/rss")
     graft.sinks.Report.write(events, s"${opts.out}/reports/content_report")
-    failedSites.toSeq
+    allFailed.toSeq
       .map { case (site, e) => (site, e.getMessage) }
       .toDF("site_id", "error")
       .write.mode("overwrite").json(s"${opts.out}/reports/error_report")
@@ -209,7 +223,7 @@ object Daemon {
     RunResult(
       Pipeline.Output(top, fullCache, graft.sinks.SiteJson.perSite(top),
         graft.sinks.Rss.perSite(top), events, crawl.schedule, crawl.lineage),
-      failedSites)
+      allFailed)
   }
 
   def main(args: Array[String]): Unit = {

@@ -98,6 +98,13 @@ object Crawl {
       // — skip the wave-0 in-wave dedup shuffle; set false for seed sources
       // that may repeat URLs
       seedsDistinct: Boolean = true,
+      // Deterministic fetch-fault injection for the synthetic web:
+      // ((site_id, wave) -> number of attempts that fail). The reference
+      // tests inject failing plugins the same way to drive run_with_retry
+      // (mod.rs:38-93 + the gnuboard try_collect whole-plugin retry,
+      // gnuboard mod.rs:76-81). Non-empty faults switch the fetch stage to
+      // per-site materialized slices wrapped in whole-site Retry.
+      faults: Map[(String, Int), Int] = Map.empty,
       // Site selection BEFORE any scheduling work — the reference prunes
       // plugins before task creation (cli macros.rs:46-113): an unselected
       // site contributes zero seeds, zero fetches, zero shuffle rows.
@@ -111,18 +118,27 @@ object Crawl {
       lineage: DataFrame,  // per (wave, partition) lineage rows
       // SSO bootstrap counter (S8): one init per partition×host that
       // touches an auth-family site — NOT one per fetched row
-      ssoBootstraps: org.apache.spark.util.LongAccumulator = null)
+      ssoBootstraps: org.apache.spark.util.LongAccumulator = null,
+      // sites whose fetch stage exhausted whole-site retries mid-crawl
+      // (reference error tally, cli main.rs:118-125): their posts are
+      // excluded from the run's output, the daemon reports crawl_failed
+      failedSites: Map[String, Throwable] = Map.empty)
 
   /**
    * Per-partition fetch expansion shared by the batch waves and the
    * streaming crawl: lazy once-per-host SSO bootstrap for auth-family
-   * sites (S8), then the deterministic synthetic fetch.
+   * sites (S8), then the deterministic synthetic fetch. `faultCheck` is
+   * the executor-side fault-injection hook (throws to simulate a failed
+   * fetch — a task failure that fails the site's whole slice, like a
+   * failed HTTP request fails the reference's whole plugin attempt).
    */
   private[graft] def expandPartition(
       it: Iterator[SyntheticWeb.Req], scale: Long, limit: Long, rev: Int,
-      probe: Boolean, onBootstrap: () => Unit): Iterator[ExpandRow] = {
+      probe: Boolean, onBootstrap: () => Unit,
+      faultCheck: SyntheticWeb.Req => Unit = _ => ()): Iterator[ExpandRow] = {
     val sessions = scala.collection.mutable.HashMap.empty[String, Sso.Session]
     it.flatMap { req =>
+      faultCheck(req)
       val site = SyntheticWeb.siteById(req.site_id)
       val session =
         if (site.family == "auth")
@@ -234,6 +250,7 @@ object Crawl {
     // no extra action per wave just to test emptiness
     var frontierCount = frontier.count()
 
+    val midCrawlFailures = scala.collection.mutable.LinkedHashMap.empty[String, Throwable]
     val debug = sys.env.get("SPARK_GRAFT_CRAWL_DEBUG").contains("1")
     def tick[T](label: String, wv: Int)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -380,11 +397,45 @@ object Crawl {
       // accumulator so the spec can assert inits << fetches.
       val scale = cfg.scale; val limit = cfg.limitPerSite; val rev = cfg.rev
       val probe = cfg.probePagination
-      val expanded = fetchInput
+      val faults = cfg.faults; val wv = wave
+      def expandDs(input: DataFrame, attempt: Int): Dataset[ExpandRow] = input
         .select("url", "site_id", "kind", "page", "row", "depth")
         .as[SyntheticWeb.Req]
         .mapPartitions(it =>
-          expandPartition(it, scale, limit, rev, probe, () => ssoBootstraps.add(1L)))
+          expandPartition(it, scale, limit, rev, probe, () => ssoBootstraps.add(1L),
+            req => if (faults.getOrElse((req.site_id, wv), 0) > attempt)
+              throw new RuntimeException(
+                s"synthetic fetch failure: ${req.site_id} wave=$wv attempt=$attempt")))
+      // Mid-crawl WHOLE-SITE retry (reference run_with_retry around the
+      // whole plugin attempt, mod.rs:38-93; a failed detail fetch retries
+      // the site from scratch, gnuboard mod.rs:76-81 try_collect). The
+      // fast path (no faults configured) keeps the single lazy fetch
+      // stage; with faults the wave's fetch runs as per-site materialized
+      // slices so one site's failure neither poisons nor re-runs its
+      // siblings. Re-fetch is idempotent: the expansion is deterministic
+      // and the seen-set/merge tolerate at-least-once delivery, so a
+      // fail-then-succeed site yields byte-identical output (CrawlSpec).
+      val expanded: Dataset[ExpandRow] =
+        if (faults.isEmpty) expandDs(fetchInput, 0)
+        else {
+          val sites = fetchInput.select("site_id").distinct().as[String].collect().sorted
+          val okParts = scala.collection.mutable.ArrayBuffer.empty[String]
+          sites.foreach { sid =>
+            val p = s"$workDir/waves/w$wave/expand/" +
+              java.net.URLEncoder.encode(sid, "UTF-8")
+            try {
+              Retry.withRetry(3) { attempt =>
+                expandDs(fetchInput.filter(col("site_id") === sid), attempt)
+                  .toDF().write.mode("overwrite").parquet(p)
+              }
+              okParts += p
+            } catch {
+              case e: Retry.RetryExhausted => midCrawlFailures(sid) = e
+            }
+          }
+          if (okParts.isEmpty) spark.emptyDataset[ExpandRow]
+          else spark.read.parquet(okParts.toSeq: _*).as[ExpandRow]
+        }
 
       // Only the (small) discovered-link frontier is cached; the wave's
       // documents stay LAZY views over the persisted fetchInput — caching
@@ -429,11 +480,20 @@ object Crawl {
       wave += 1
     }
 
+    // a site that exhausted mid-crawl retries contributes NO posts to the
+    // run (the reference's failed plugin yields an error, not partial
+    // output — mod.rs:38-93); its schedule/lineage rows remain as the
+    // attempt record the error report cites
+    val allPosts = postParts.reduce(_ unionByName _)
+    val livePosts =
+      if (midCrawlFailures.isEmpty) allPosts
+      else allPosts.filter(!col("site_id").isin(midCrawlFailures.keys.toSeq: _*))
     Result(
-      postParts.reduce(_ unionByName _),
+      livePosts,
       seenAll,
       scheduleParts.reduce(_ unionByName _),
       lineageParts.reduce(_ unionByName _),
-      ssoBootstraps)
+      ssoBootstraps,
+      midCrawlFailures.toMap)
   }
 }

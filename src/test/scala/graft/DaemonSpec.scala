@@ -108,6 +108,28 @@ class DaemonSpec extends SparkSuite {
     assert(scheduled === include.toSet, scheduled.toString)
   }
 
+  test("a MID-CRAWL fetch failure that exhausts retries: crawl_failed + error_report + cache untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-daemon-midfail").toString
+    val opts = Daemon.Options(out = s"$dir/out", cache = s"$dir/cache",
+      limit = 10, scale = 60,
+      include = Seq("biz.ssu.ac.kr", "bioinfo.ssu.ac.kr"))
+    Daemon.run(spark, opts) // healthy first run seeds both cache partitions
+    val bizBefore = spark.read.parquet(s"$dir/cache")
+      .filter(col("site_id") === "biz.ssu.ac.kr").count()
+    // second run: biz preflight passes, but its post wave fails all retries
+    val res = Daemon.run(spark, opts.copy(
+      failFetch = Map(("biz.ssu.ac.kr", 1) -> 3),
+      now = java.sql.Timestamp.valueOf("2026-01-16 00:00:00")))
+    assert(res.failedSites.keySet === Set("biz.ssu.ac.kr")) // drives exit 1
+    assert(res.pipeline.events.filter(col("event") === "crawl_failed")
+      .select("site_id").collect().map(_.getString(0)).toSeq === Seq("biz.ssu.ac.kr"))
+    val report = spark.read.json(s"$dir/out/reports/error_report")
+    assert(report.filter(col("site_id") === "biz.ssu.ac.kr").count() === 1)
+    // the failed site's cache partition is preserved, not clobbered
+    assert(spark.read.parquet(s"$dir/cache")
+      .filter(col("site_id") === "biz.ssu.ac.kr").count() === bizBefore)
+  }
+
   test("a site that exhausts retries: error_report + crawl_failed events, others unaffected") {
     val dir = java.nio.file.Files.createTempDirectory("graft-daemon-fail").toString
     val res = Daemon.run(spark, Daemon.Options(out = s"$dir/out",

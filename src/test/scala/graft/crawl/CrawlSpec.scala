@@ -99,6 +99,34 @@ class CrawlSpec extends SparkSuite {
     assert(cuckoo.seen.count() === run1.seen.count())
   }
 
+  test("mid-crawl whole-site retry: fail-twice-then-succeed is byte-identical to the clean run") {
+    val sites = Seq("biz.ssu.ac.kr", "bioinfo.ssu.ac.kr")
+    val small = Crawl.Config(scale = 60, limitPerSite = 20, include = sites)
+    val clean = Crawl.run(spark, small)
+    // biz's post-fetch wave (wave 1) fails twice, succeeds on attempt 3
+    val flaky = Crawl.run(spark, small.copy(faults = Map(("biz.ssu.ac.kr", 1) -> 2)))
+    assert(flaky.failedSites.isEmpty)
+    def postsKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("site_id", "id", "url", "title", "content", "created_at")
+        .orderBy("site_id", "id").collect().map(_.mkString("|")).toSeq
+    assert(postsKey(flaky.posts) === postsKey(clean.posts))
+    assert(orderKey(flaky.schedule) === orderKey(clean.schedule))
+    assert(flaky.seen.select("url_hash").orderBy("url_hash").as[Long].collect().toSeq ===
+      clean.seen.select("url_hash").orderBy("url_hash").as[Long].collect().toSeq)
+  }
+
+  test("mid-crawl retry exhaustion: the failed site contributes no posts, siblings unaffected") {
+    val sites = Seq("biz.ssu.ac.kr", "bioinfo.ssu.ac.kr")
+    val small = Crawl.Config(scale = 60, limitPerSite = 20, include = sites)
+    val clean = Crawl.run(spark, small)
+    val dead = Crawl.run(spark, small.copy(faults = Map(("biz.ssu.ac.kr", 1) -> 3)))
+    assert(dead.failedSites.keySet === Set("biz.ssu.ac.kr"))
+    assert(dead.failedSites("biz.ssu.ac.kr").getMessage.contains("failed after 3 attempts"))
+    assert(dead.posts.filter(col("site_id") === "biz.ssu.ac.kr").count() === 0)
+    val cleanBio = clean.posts.filter(col("site_id") === "bioinfo.ssu.ac.kr").count()
+    assert(dead.posts.filter(col("site_id") === "bioinfo.ssu.ac.kr").count() === cleanBio)
+  }
+
   test("snapshot kill-and-resume reproduces the uninterrupted crawl exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
     // "killed" run: stops after wave 0, snapshot v0 persisted
