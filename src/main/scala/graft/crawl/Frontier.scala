@@ -105,6 +105,12 @@ object Crawl {
       // gnuboard mod.rs:76-81). Non-empty faults switch the fetch stage to
       // per-site materialized slices wrapped in whole-site Retry.
       faults: Map[(String, Int), Int] = Map.empty,
+      // Live pacing: route the fetch stage through the ThrottledFetch
+      // token bucket (real wall-clock politeness + real SSO sessions)
+      // instead of the virtual-clock schedule alone. Off by default —
+      // the no-network sandbox needs no wall-clock pacing; the spec
+      // drives it with numSalts=1 for strict per-host spacing.
+      livePacing: Boolean = false,
       // Site selection BEFORE any scheduling work — the reference prunes
       // plugins before task creation (cli macros.rs:46-113): an unselected
       // site contributes zero seeds, zero fetches, zero shuffle rows.
@@ -122,7 +128,10 @@ object Crawl {
       // sites whose fetch stage exhausted whole-site retries mid-crawl
       // (reference error tally, cli main.rs:118-125): their posts are
       // excluded from the run's output, the daemon reports crawl_failed
-      failedSites: Map[String, Throwable] = Map.empty)
+      failedSites: Map[String, Throwable] = Map.empty,
+      // live-pacing audit trail: one (host, started_at_ms, wave) row per
+      // fetch — empty unless Config.livePacing
+      fetchLog: DataFrame = null)
 
   /**
    * Per-partition fetch expansion shared by the batch waves and the
@@ -250,7 +259,11 @@ object Crawl {
     // no extra action per wave just to test emptiness
     var frontierCount = frontier.count()
 
+    require(!cfg.livePacing || cfg.faults.isEmpty,
+      "livePacing and fault injection are separate test modes")
     val midCrawlFailures = scala.collection.mutable.LinkedHashMap.empty[String, Throwable]
+    val fetchLogParts = scala.collection.mutable.ArrayBuffer(
+      Seq.empty[(String, Long, Int)].toDF("host", "started_at_ms", "wave"))
     val debug = sys.env.get("SPARK_GRAFT_CRAWL_DEBUG").contains("1")
     def tick[T](label: String, wv: Int)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -416,7 +429,42 @@ object Crawl {
       // and the seen-set/merge tolerate at-least-once delivery, so a
       // fail-then-succeed site yields byte-identical output (CrawlSpec).
       val expanded: Dataset[ExpandRow] =
-        if (faults.isEmpty) expandDs(fetchInput, 0)
+        if (cfg.livePacing) {
+          // LIVE politeness: the wave's fetch runs through the token-bucket
+          // executor — real wall-clock spacing per host within each salt
+          // lane (numSalts=1 => strict per-host pacing), real lazy SSO
+          // sessions (one bootstrap per task×host). The paced result is
+          // staged out ONCE so downstream consumers re-read files instead
+          // of re-triggering paced fetches.
+          val delays: Map[String, Long] =
+            Robots.fleetRules.map(r => r.host -> r.crawl_delay_ms.toLong).toMap
+          val reqs = fetchInput
+            .select("url", "site_id", "kind", "page", "row", "depth")
+            .as[SyntheticWeb.Req]
+          val fetched = ThrottledFetch.run[
+              SyntheticWeb.Req, (Option[Post], Seq[SyntheticWeb.Req])](
+            reqs,
+            hostOf = r => SyntheticWeb.siteById(r.site_id).host,
+            delayMsFor = h => delays.getOrElse(h, 300L),
+            fetch = (req, sessionFor) => {
+              val site = SyntheticWeb.siteById(req.site_id)
+              val session =
+                if (site.family == "auth") Some(sessionFor(site.host)) else None
+              val (post, links0) = SyntheticWeb.expand(req, scale, limit, rev, session)
+              (post, if (probe) links0.filter(_.kind != "list") else links0)
+            })
+          val path = s"$workDir/waves/w$wave/fetched"
+          fetched.toDF().write.mode("overwrite").parquet(path)
+          val f = spark.read.parquet(path)
+          fetchLogParts += f
+            .select(col("host"), col("startedAtMs").as("started_at_ms"))
+            .withColumn("wave", lit(wv))
+          f.as[ThrottledFetch.Fetched[(Option[Post], Seq[SyntheticWeb.Req])]]
+            .flatMap { fr =>
+              fr.result._1.map(p => ExpandRow(Some(p), None)).toSeq ++
+                fr.result._2.map(l => ExpandRow(None, Some(l)))
+            }
+        } else if (faults.isEmpty) expandDs(fetchInput, 0)
         else {
           val sites = fetchInput.select("site_id").distinct().as[String].collect().sorted
           val okParts = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -494,6 +542,7 @@ object Crawl {
       scheduleParts.reduce(_ unionByName _),
       lineageParts.reduce(_ unionByName _),
       ssoBootstraps,
-      midCrawlFailures.toMap)
+      midCrawlFailures.toMap,
+      fetchLogParts.reduce(_ unionByName _))
   }
 }

@@ -3,13 +3,15 @@ package graft.crawl
 import org.apache.spark.sql.{Dataset, Encoder}
 
 /**
- * Real-time politeness executor for LIVE fetching (the virtual-clock
- * schedule in [[Crawl]] proves ordering; this is the piece that would
- * actually pace HTTP requests on a cluster):
+ * Real-time politeness executor for LIVE fetching — the engine's opt-in
+ * pacing mode (`Crawl.Config.livePacing`). The virtual-clock schedule in
+ * [[Crawl]] proves ordering; this is the piece that actually paces
+ * requests when fetches leave the machine:
  *
- *  - per-partition SESSION INIT once per task (the reference's ssupath SSO
- *    bootstrap, plugins/ssupath/src/lib.rs:87-129 / sso.rs:26-92 — S8:
- *    "connection/credential setup once per task");
+ *  - per-partition SESSION INIT once per task per host via the REAL
+ *    [[Sso.bootstrap]] flow (the reference's ssupath SSO login,
+ *    plugins/ssupath/src/lib.rs:87-129 / sso.rs:26-92 — S8: credential
+ *    setup once per task, lazily, only for hosts that need it);
  *  - per-host TOKEN BUCKET inside mapPartitions: a fetch for host H waits
  *    until H's bucket refills (robots crawl-delay); different hosts in the
  *    same partition interleave freely. Combined with the salted
@@ -18,18 +20,10 @@ import org.apache.spark.sql.{Dataset, Encoder}
  *    documented (and configurable) politeness budget under salting; set
  *    numSalts=1 for strict single-lane pacing.
  *
- * The fetch function is pluggable; tests inject a recording fake.
+ * The fetch function is pluggable; tests inject a recording fake, the
+ * crawl's live mode plugs the synthetic expansion in.
  */
 object ThrottledFetch {
-
-  /** One-per-executor lazy session (S8): initialized on first use per JVM. */
-  object SessionPool {
-    @transient private lazy val token: String = {
-      // stands in for the SSO form-scrape + cookie bootstrap
-      s"sToken-${java.util.UUID.nameUUIDFromBytes("graft".getBytes)}"
-    }
-    def sessionToken: String = token
-  }
 
   final case class Fetched[T](host: String, startedAtMs: Long, result: T)
 
@@ -38,12 +32,19 @@ object ThrottledFetch {
    * host are spaced by `delayMsFor(host)`; the wait never blocks other
    * hosts' already-due requests (we process in arrival order — upstream
    * provides breadth order — and sleep only the residual delay).
+   *
+   * `fetch` receives a lazy per-partition session provider: the first
+   * request against a host pays the SSO bootstrap, subsequent requests in
+   * the task reuse the session (S8 — one authenticated client per task).
    */
   def run[I, O](
       reqs: Dataset[I], hostOf: I => String, delayMsFor: String => Long,
-      fetch: (I, String) => O)(implicit enc: Encoder[Fetched[O]]): Dataset[Fetched[O]] = {
+      fetch: (I, String => Sso.Session) => O)(
+      implicit enc: Encoder[Fetched[O]]): Dataset[Fetched[O]] = {
     reqs.mapPartitions { it =>
-      val session = SessionPool.sessionToken // once per task
+      val sessions = scala.collection.mutable.HashMap.empty[String, Sso.Session]
+      val sessionFor: String => Sso.Session =
+        host => sessions.getOrElseUpdate(host, Sso.bootstrap(host))
       val nextFree = scala.collection.mutable.HashMap.empty[String, Long]
       it.map { req =>
         val host = hostOf(req)
@@ -52,7 +53,7 @@ object ThrottledFetch {
         val start = math.max(now, due)
         if (start > now) Thread.sleep(start - now)
         nextFree(host) = start + delayMsFor(host)
-        Fetched(host, start, fetch(req, session))
+        Fetched(host, start, fetch(req, sessionFor))
       }
     }
   }

@@ -127,6 +127,33 @@ class CrawlSpec extends SparkSuite {
     assert(dead.posts.filter(col("site_id") === "bioinfo.ssu.ac.kr").count() === cleanBio)
   }
 
+  test("live pacing: the wave fetch runs through the token bucket — per-host spacing, same content") {
+    val sites = Seq("biz.ssu.ac.kr", "bioinfo.ssu.ac.kr")
+    val small = Crawl.Config(scale = 60, limitPerSite = 6, include = sites,
+      livePacing = true, numSalts = 1) // one salt lane -> strict per-host pacing
+    val live = Crawl.run(spark, small)
+    val batch = Crawl.run(spark, small.copy(livePacing = false))
+    // content outcomes identical to the batch fetch stage
+    def postsKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("site_id", "id", "url", "title", "content")
+        .orderBy("site_id", "id").collect().map(_.mkString("|")).toSeq
+    assert(postsKey(live.posts) === postsKey(batch.posts))
+    // recorded start times: per (wave, host), consecutive fetches spaced by
+    // the robots crawl-delay
+    val delays = Robots.fleetRules.map(r => r.host -> r.crawl_delay_ms.toLong).toMap
+    val log = live.fetchLog
+      .select("wave", "host", "started_at_ms")
+      .as[(Int, String, Long)].collect()
+    assert(log.nonEmpty)
+    log.groupBy(r => (r._1, r._2)).foreach { case ((_, host), rows) =>
+      val d = delays.getOrElse(host, 300L)
+      rows.map(_._3).sorted.sliding(2).foreach {
+        case Array(x, y) => assert(y - x >= d, s"$host spaced ${y - x}ms < ${d}ms")
+        case _           =>
+      }
+    }
+  }
+
   test("snapshot kill-and-resume reproduces the uninterrupted crawl exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
     // "killed" run: stops after wave 0, snapshot v0 persisted
