@@ -385,6 +385,15 @@ object SparkEntry {
         .groupBy("kind").agg(count(lit(1)).as("n_spans"),
           countDistinct(col("doc_id")).as("n_docs"))),
 
+    // ---- multimodal REAL decode (BMP/WAV header parsing, no stub): the
+    // Spark side parses metadata from real encoded payload bytes; the
+    // oracle recomputes the same values arithmetically from doc_id/text ----
+    "q50_media_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeMetaRows(
+        graft.operators.Multimodal.synthesizeTypedMedia(t(s, dir, "documents")))
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("sample_rate"), col("duration_ms"))),
+
     // ---- self-feeding streaming crawl (§2.10): the wave loop as a
     // Structured Streaming query over a watched frontier directory;
     // equality with the batch crawl asserted in StreamingCrawlSpec ----
@@ -696,6 +705,20 @@ object SparkEntry {
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |       CAST(strlen(text) AS INTEGER) AS n_bytes,
         |       'media://' || source || '/' || CAST(doc_id AS VARCHAR) AS media_ref
+        |FROM documents""".stripMargin,
+
+    // Spark parses these values out of REAL BMP/WAV headers it encoded from
+    // the document; the oracle derives them arithmetically — a header
+    // encode/parse round-trip check over the whole corpus
+    "q50_media_decode" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 16 WHEN 1 THEN 0 ELSE 320 END AS INTEGER) AS width,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 8 WHEN 1 THEN 0 ELSE 240 END AS INTEGER) AS height,
+        |       CAST(CASE doc_id % 3 WHEN 1 THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |                            WHEN 1 THEN strlen(text) * 1000 // 16000
+        |                            ELSE strlen(text) * 10 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
     "q45_embedding_neardup" ->

@@ -29,9 +29,92 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, media_ref: String, kind: String,
       n_bytes: Int, checksum: Long, features: Array[Float])
 
-  /** ==== STUB ==== deterministic fake codec standing in for image/audio
-    * decoding (no codec libraries in this container). Every function is a
-    * pure function of the payload bytes, so tests are reproducible. */
+  /**
+   * REAL pure-JVM codecs for the container-friendly formats: BMP (image)
+   * and RIFF/WAVE PCM (audio) — full header encode/parse with no codec
+   * library. The engine's image/audio metadata path runs on these for
+   * real; only compressed formats (JPEG/MP4...) remain behind the labeled
+   * [[StubCodec]].
+   */
+  object Codecs {
+
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def rdLe32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def rdLe16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+    /** A valid 24-bit uncompressed BMP (BITMAPINFOHEADER): 54-byte header +
+      * 4-byte-aligned pixel rows. Pixels are a deterministic function of
+      * `seed` so payloads differ per document. */
+    def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val rowBytes = (width * 3 + 3) / 4 * 4
+      val dataSize = rowBytes * height
+      val out = new java.io.ByteArrayOutputStream(54 + dataSize)
+      out.write('B'); out.write('M')
+      out.write(le32(54 + dataSize)); out.write(le32(0)); out.write(le32(54))
+      out.write(le32(40)); out.write(le32(width)); out.write(le32(height))
+      out.write(le16(1)); out.write(le16(24)) // planes, bpp
+      out.write(le32(0)); out.write(le32(dataSize)) // BI_RGB, image size
+      out.write(le32(2835)); out.write(le32(2835)); out.write(le32(0)); out.write(le32(0))
+      val row = new Array[Byte](rowBytes)
+      (0 until height).foreach { y =>
+        (0 until rowBytes).foreach(x => row(x) = ((seed + y * 31 + x) & 0xFF).toByte)
+        out.write(row)
+      }
+      out.toByteArray
+    }
+
+    /** Parse (width, height) from a BMP header; None for non-BMP bytes. */
+    def parseBmp(bytes: Array[Byte]): Option[(Int, Int)] =
+      if (bytes.length < 26 || bytes(0) != 'B' || bytes(1) != 'M') None
+      else Some((rdLe32(bytes, 18), rdLe32(bytes, 22)))
+
+    /** A valid RIFF/WAVE file: canonical fmt chunk + 16-bit PCM mono data.
+      * Samples are a deterministic function of `seed`. */
+    def encodeWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+      val dataSize = nSamples * 2
+      val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+      out.write("RIFF".getBytes); out.write(le32(36 + dataSize)); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); out.write(le32(16))
+      out.write(le16(1)); out.write(le16(1)) // PCM, mono
+      out.write(le32(sampleRate)); out.write(le32(sampleRate * 2))
+      out.write(le16(2)); out.write(le16(16)) // block align, bits
+      out.write("data".getBytes); out.write(le32(dataSize))
+      (0 until nSamples).foreach(i => out.write(le16(((seed + i * 7) & 0xFFFF).toInt)))
+      out.toByteArray
+    }
+
+    /** Parse (sample_rate, duration_ms) by walking the RIFF chunk list;
+      * None for non-WAVE bytes. */
+    def parseWav(bytes: Array[Byte]): Option[(Int, Long)] = {
+      if (bytes.length < 44 ||
+        new String(bytes, 0, 4) != "RIFF" || new String(bytes, 8, 4) != "WAVE") return None
+      var off = 12
+      var rate = 0; var blockAlign = 0; var dataLen = -1L
+      while (off + 8 <= bytes.length) {
+        val id = new String(bytes, off, 4)
+        val sz = rdLe32(bytes, off + 4)
+        if (id == "fmt " && off + 16 <= bytes.length) {
+          rate = rdLe32(bytes, off + 12)
+          blockAlign = rdLe16(bytes, off + 20)
+        } else if (id == "data") dataLen = sz.toLong
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || blockAlign <= 0 || dataLen < 0) None
+      else Some((rate, dataLen * 1000L / (rate.toLong * blockAlign)))
+    }
+  }
+
+  /** ==== STUB ==== deterministic fake codec standing in for COMPRESSED
+    * formats (JPEG/MP4 decoding — no codec libraries in this container);
+    * BMP/WAV go through the real [[Codecs]]. Every function is a pure
+    * function of the payload bytes, so tests are reproducible. */
   object StubCodec {
     /** "Decode" -> fixed-width feature vector (hash-folded byte histogram). */
     def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -79,6 +162,66 @@ object Multimodal {
         }
         MediaRow(id, s"media://$source/$id", meta, bytes)
       }
+  }
+
+  /**
+   * Media table with REAL encoded payloads: images are valid BMP files,
+   * audio is valid RIFF/WAVE PCM (both deterministic functions of the
+   * document), video remains the labeled stub payload. The typed-metadata
+   * columns are what [[decodeMeta]] recovers FROM the bytes — the
+   * round-trip is the correctness contract (q50 oracle recomputes the
+   * same values arithmetically from doc_id/text length).
+   */
+  def synthesizeTypedMedia(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"), col("source")).as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        val textBytes = text.getBytes("UTF-8")
+        val (bytes, meta) = kind match {
+          case "image" =>
+            val w = 8 + (id % 16).toInt; val h = 4 + (id % 8).toInt
+            (Codecs.encodeBmp(w, h, id), MediaMeta(kind, w, h, 0, 0L))
+          case "audio" =>
+            val n = textBytes.length
+            (Codecs.encodeWav(16000, n, id),
+              MediaMeta(kind, 0, 0, 16000, n.toLong * 1000L / 16000L))
+          case _ => // compressed-video stand-in (StubCodec territory)
+            (textBytes, MediaMeta(kind, 320, 240, 0, textBytes.length.toLong * 10))
+        }
+        MediaRow(id, s"media://$source/$id", meta, bytes)
+      }
+  }
+
+  /** REAL metadata decode from payload bytes: BMP and WAV headers are
+    * parsed for real; `video` (compressed formats, no codec libs here)
+    * falls back to the labeled stub's deterministic metadata. Throws on a
+    * corrupt image/audio payload — drop-malformed is the caller's call. */
+  def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = kind match {
+    case "image" =>
+      val (w, h) = Codecs.parseBmp(bytes)
+        .getOrElse(throw new IllegalArgumentException("not a BMP payload"))
+      MediaMeta(kind, w, h, 0, 0L)
+    case "audio" =>
+      val (rate, durMs) = Codecs.parseWav(bytes)
+        .getOrElse(throw new IllegalArgumentException("not a WAVE payload"))
+      MediaMeta(kind, 0, 0, rate, durMs)
+    case _ =>
+      MediaMeta(kind, 320, 240, 0, bytes.length.toLong * 10) // stub
+  }
+
+  /** Distributed metadata decode: one partition-parallel pass over the
+    * payload bytes, real header parsing per row. */
+  def decodeMetaRows(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = decodeMeta(r.meta.kind, r.bytes)
+        (r.doc_id, m.kind, m.width, m.height, m.sample_rate, m.duration_ms)
+      }
+    }.toDF("doc_id", "kind", "width", "height", "sample_rate", "duration_ms")
   }
 
   /**

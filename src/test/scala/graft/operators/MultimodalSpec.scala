@@ -30,6 +30,37 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("real BMP codec: header round-trip recovers exact dimensions; rejects non-BMP") {
+    val bmp = Multimodal.Codecs.encodeBmp(17, 9, seed = 42L)
+    // structurally valid: signature, declared size, 24bpp
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    assert(bmp.length === 54 + ((17 * 3 + 3) / 4 * 4) * 9)
+    assert(Multimodal.Codecs.parseBmp(bmp) === Some((17, 9)))
+    assert(Multimodal.Codecs.parseBmp("not an image".getBytes) === None)
+    assert(Multimodal.Codecs.parseBmp(Array[Byte]('B', 'M')) === None)
+  }
+
+  test("real WAV codec: chunk-walk recovers sample rate and duration; rejects non-WAVE") {
+    val wav = Multimodal.Codecs.encodeWav(16000, nSamples = 8000, seed = 7L)
+    assert(new String(wav, 0, 4) === "RIFF" && new String(wav, 8, 4) === "WAVE")
+    assert(Multimodal.Codecs.parseWav(wav) === Some((16000, 500L))) // 8000/16000 s
+    assert(Multimodal.Codecs.parseWav("RIFFxxxxJUNK".getBytes) === None)
+    assert(Multimodal.Codecs.parseWav(Array.empty[Byte]) === None)
+  }
+
+  test("typed media: decodeMeta parses REAL headers back to the synthesized metadata") {
+    val media = Multimodal.synthesizeTypedMedia(docs.limit(200))
+    val mismatches = media.map { r =>
+      val decoded = Multimodal.decodeMeta(r.meta.kind, r.bytes)
+      (r.doc_id, decoded == r.meta)
+    }.filter(!_._2).count()
+    assert(mismatches === 0L)
+    // a corrupt image payload fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMeta("image", "garbage".getBytes)
+    }
+  }
+
   test("stub codec: resize and frame sampling are deterministic reductions") {
     val bytes = "abcdefghij".getBytes("UTF-8")
     assert(Multimodal.StubCodec.resize(bytes, 2).toSeq === "acegi".getBytes("UTF-8").toSeq)
