@@ -196,8 +196,36 @@ object SiteJson {
   }
 
   /**
+   * serde_json::to_string_pretty layout (the reference's per-site cache
+   * emitter, cli main.rs:269-301 uses exactly this): 2-space indent,
+   * `"key": value`, one element per line, `[]`/`{}` for empties. Scalars
+   * render in Jackson's compact form (same escaping rules).
+   */
+  private[sinks] def pretty(n: com.fasterxml.jackson.databind.JsonNode,
+      ind: String = ""): String = {
+    import scala.jdk.CollectionConverters._
+    val childInd = ind + "  "
+    if (n.isObject) {
+      val fields = n.fields().asScala.toSeq
+      if (fields.isEmpty) "{}"
+      else fields.map { e =>
+        val key = com.fasterxml.jackson.databind.node.TextNode.valueOf(e.getKey).toString
+        s"$childInd$key: ${pretty(e.getValue, childInd)}"
+      }.mkString("{\n", ",\n", s"\n$ind}")
+    } else if (n.isArray) {
+      val els = n.elements().asScala.toSeq
+      if (els.isEmpty) "[]"
+      else els.map(e => childInd + pretty(e, childInd)).mkString("[\n", ",\n", s"\n$ind]")
+    } else n.toString
+  }
+
+  /**
    * Per-site JSON payload (cli main.rs:202-213 shape:
-   * {title, source, description, items: [...]}) — one row per site.
+   * {title, source, description, items: [...]}) — one row per site,
+   * PRETTY-printed byte-for-byte like the reference's
+   * serde_json::to_string_pretty output. One divergence is documented in
+   * COVERAGE.md: absent Option fields are omitted (Spark's to_json null
+   * handling) rather than serialized as null.
    */
   def perSite(posts: DataFrame): DataFrame = {
     val spark = posts.sparkSession
@@ -207,10 +235,13 @@ object SiteJson {
       .as[(String, Long, String)]
       .groupByKey(_._1)
       .mapGroups { (site: String, rows: Iterator[(String, Long, String)]) =>
-        val items = rows.toSeq.sortBy(-_._2).map(_._3).mkString(",")
-        val json = s"""{"title":"$site","source":"https://$site",""" +
-          s""""description":"$site notices","items":[$items]}"""
-        (site, json)
+        val root = mapper.createObjectNode()
+        root.put("title", site)
+        root.put("source", s"https://$site")
+        root.put("description", s"$site notices")
+        val arr = root.putArray("items")
+        rows.toSeq.sortBy(-_._2).foreach(r => arr.add(mapper.readTree(r._3)))
+        (site, pretty(root))
       }
       .toDF("site_id", "site_json")
   }

@@ -91,6 +91,55 @@ class SinksSpec extends SparkSuite {
     val json = SiteJson.perSite(df).collect()
     assert(json.length === 1)
     val j = json.head.getAs[String]("site_json")
-    assert(j.contains("\"items\":[") && j.indexOf("p5") < j.indexOf("p1"))
+    assert(j.contains("\"items\": [") && j.indexOf("p5") < j.indexOf("p1"))
+  }
+
+  test("per-site JSON golden: serde_json::to_string_pretty layout byte-for-byte (main.rs:269-301)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      basicPost.copy(id = "p2", title = "Two <&>", updated_at = None, thumbnail = None,
+        author = None, category = Seq.empty),
+      basicPost.copy(id = "p1", title = "One"))
+      .toDF().withColumn("rank", col("id").substr(2, 9).cast("long"))
+    val j = SiteJson.perSite(df).collect().head.getAs[String]("site_json")
+    // reference-shaped fixture: what serde_json::to_string_pretty emits for
+    // {title, source, description, items:[...]} with these two posts
+    // (2-space indent, `"key": value`, one element per line; absent Options
+    // omitted — divergence documented in COVERAGE.md)
+    val expected =
+      """{
+        |  "title": "example.com",
+        |  "source": "https://example.com",
+        |  "description": "example.com notices",
+        |  "items": [
+        |    {
+        |      "site_id": "example.com",
+        |      "id": "p2",
+        |      "url": "https://example.com/basic",
+        |      "title": "Two <&>",
+        |      "category": [],
+        |      "created_at": "2024-03-22T12:00:00.000Z",
+        |      "content": "Basic Content",
+        |      "attachments": []
+        |    },
+        |    {
+        |      "site_id": "example.com",
+        |      "id": "p1",
+        |      "url": "https://example.com/basic",
+        |      "author": "Basic Author",
+        |      "title": "One",
+        |      "category": [
+        |        "Basic Category"
+        |      ],
+        |      "created_at": "2024-03-22T12:00:00.000Z",
+        |      "updated_at": "2024-03-27T12:00:00.000Z",
+        |      "thumbnail": "https://example.com/basic_thumb.jpg",
+        |      "content": "Basic Content",
+        |      "attachments": []
+        |    }
+        |  ]
+        |}""".stripMargin
+    assert(j === expected)
   }
 }
