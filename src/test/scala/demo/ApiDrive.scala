@@ -126,6 +126,35 @@ object ApiDrive {
       failSites = Seq("bioinfo.ssu.ac.kr")))
     println("daemon failed sites: " + res.failedSites.keySet +
       " error_report rows: " + spark.read.json(s"$dir/out/reports/error_report").count)
+
+    // 11. Incremental cache: second daemon run rewrites only crawled
+    // partitions; mid-crawl fetch fault exhausts whole-site retries
+    val res2 = graft.Daemon.run(spark, graft.Daemon.Options(out = s"$dir/out",
+      cache = s"$dir/cache", limit = 5, scale = 60, rev = 1,
+      include = Seq("biz.ssu.ac.kr"),
+      now = java.sql.Timestamp.valueOf("2026-01-16 00:00:00")))
+    println("incremental run events: " + res2.pipeline.events.count +
+      " cache rows: " + spark.read.parquet(s"$dir/cache").count)
+    val resFail = graft.Daemon.run(spark, graft.Daemon.Options(out = s"$dir/out2",
+      cache = s"$dir/cache2", limit = 5, scale = 60,
+      include = Seq("biz.ssu.ac.kr"),
+      failFetch = Map(("biz.ssu.ac.kr", 1) -> 3)))
+    println("mid-crawl exhaustion failed sites: " + resFail.failedSites.keySet)
+
+    // 12. Live-pacing crawl: token-bucket fetch with per-host start log
+    val live = graft.crawl.Crawl.run(spark, graft.crawl.Crawl.Config(
+      scale = 60, limitPerSite = 3, numSalts = 1, livePacing = true,
+      include = Seq("biz.ssu.ac.kr")))
+    println("live-paced fetches logged: " + live.fetchLog.count)
+
+    // 13. Real multimodal codecs: BMP/WAV header round-trip at API level
+    val docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val decoded = graft.operators.Multimodal.decodeMetaRows(
+      graft.operators.Multimodal.synthesizeTypedMedia(docs001.limit(50)))
+    decoded.groupBy("kind").count().show(false)
+    val bmp = graft.operators.Multimodal.Codecs.encodeBmp(12, 7, 1L)
+    println("bmp parse: " + graft.operators.Multimodal.Codecs.parseBmp(bmp))
+    println("bmp reject: " + graft.operators.Multimodal.Codecs.parseBmp("nope".getBytes))
     spark.stop()
   }
 }
