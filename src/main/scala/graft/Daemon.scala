@@ -37,6 +37,9 @@ object Daemon {
       include: Seq[String] = Seq.empty,
       exclude: Seq[String] = Seq.empty,
       snapshotDir: Option[String] = None,
+      // publish (K6): commit out/ + cache into this content-addressed data
+      // repository after the sinks are written (daemon.yml:127-143)
+      publishRepo: Option[String] = None,
       calendarStart: String = "2026-01-01",
       calendarEnd: String = "2027-12-31",
       now: Timestamp = Timestamp.valueOf("2026-01-15 00:00:00"),
@@ -67,6 +70,7 @@ object Daemon {
         case "--include"        => o = o.copy(include = args(i + 1).split(",").toSeq); i += 2
         case "--exclude"        => o = o.copy(exclude = args(i + 1).split(",").toSeq); i += 2
         case "--snapshot-dir"   => o = o.copy(snapshotDir = Some(args(i + 1))); i += 2
+        case "--publish"        => o = o.copy(publishRepo = Some(args(i + 1))); i += 2
         case "--calendar-start" => o = o.copy(calendarStart = args(i + 1)); i += 2
         case "--calendar-end"   => o = o.copy(calendarEnd = args(i + 1)); i += 2
         case "--now"            => o = o.copy(now = Timestamp.valueOf(args(i + 1))); i += 2
@@ -175,15 +179,19 @@ object Daemon {
     // their previous outputs and are neither scanned nor rewritten)
     val top = graft.operators.Merge.topKPerSite(touchedPosts, opts.limit.toInt)
 
-    // crawl_failed events join the content events (reference writes both
-    // the content report and the error report, main.rs:300-340)
-    val failEvents = allFailed.toSeq
-      .map { case (site, e) => (site, "crawl_failed", null: String, e.getMessage, null: String) }
+    // crawl_success (one per successfully crawled site — the reference
+    // emits it per finished plugin, core/mod.rs:53-87) and crawl_failed
+    // events join the content events (reference writes both the content
+    // report and the error report, main.rs:300-340)
+    val statusEvents = (
+      touched.map(site => (site, "crawl_success", null: String, null: String, null: String)) ++
+      allFailed.toSeq
+        .map { case (site, e) => (site, "crawl_failed", null: String, e.getMessage, null: String) })
       .toDF("site_id", "event", "post_id", "title", "url")
     // checkpointed like touchedPosts: the event rows read the touched cache
     // partitions, which the dynamic overwrite below REPLACES — a lazy plan
     // would dangle on the pre-overwrite file listing
-    val events = merged.events.unionByName(failEvents).localCheckpoint()
+    val events = merged.events.unionByName(statusEvents).localCheckpoint()
 
     // sinks (cli main.rs:192-243 layout)
     graft.sinks.SiteJson.write(graft.sinks.SiteJson.perSite(top), s"${opts.out}/sites")
@@ -217,6 +225,20 @@ object Daemon {
       .partitionBy("site_id")
       .parquet(opts.cache)
     cal.cache.write.mode("overwrite").parquet(s"${opts.cache}_calendar_next")
+
+    // analyze-report markdown summary (action.yml:38-77 — the step-summary
+    // payload; also the Slack block content, which is network-bound and out
+    // of engine scope)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${opts.out}/reports/SUMMARY.md"),
+      graft.sinks.Publish.markdownReport(events))
+    // publish (K6): commit out/* + the cache into the data repository
+    // ("update: YYYY-MM-DD HH:MM", no-op when the tree is unchanged —
+    // daemon.yml:127-143)
+    opts.publishRepo.foreach { repo =>
+      graft.sinks.Publish.publish(spark, repo,
+        Seq("" -> opts.out, ".cache" -> opts.cache), opts.now)
+    }
 
     val fullCache = cacheUntouched.select(touchedPosts.columns.map(col): _*)
       .unionByName(touchedPosts)

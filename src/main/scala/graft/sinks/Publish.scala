@@ -1,0 +1,190 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Publish (K6): the reference's post-crawl CI step re-expressed as an
+ * engine sink — analyze the content report into the markdown summary
+ * (actions/analyze-report/action.yml:38-77), then copy `out/` + `.cache/`
+ * into the data repository and commit ("update: YYYY-MM-DD HH:MM",
+ * no-op when nothing changed — .github/workflows/daemon.yml:127-143).
+ *
+ * The git side is modeled as a content-addressed commit chain over the
+ * published tree (what `git add . && git commit || echo "no changes"`
+ * observes): per-file digests are computed DISTRIBUTED via the binaryFile
+ * source (one task per file — at a 10^4-site fleet the hashing, the only
+ * data-proportional cost, scales out; the commit record itself is O(files)
+ * metadata), the tree hash is the digest of the sorted manifest, and a
+ * publish whose tree hash equals HEAD's writes nothing ("no changes to
+ * commit"). Slack notify (daemon.yml:114-125) is network-bound and out of
+ * engine scope: the block-message payload is the same markdown content,
+ * documented in COVERAGE.md.
+ */
+object Publish {
+
+  final case class Commit(
+      id: String,
+      parent: Option[String],
+      tree: String,
+      message: String,
+      files: Long,
+      created: Boolean)
+
+  /**
+   * Exact layout of the reference's markdown step
+   * (analyze-report/action.yml:59-77): header, success/fail counts, a
+   * per-plugin section per created/updated group, or the "nothing changed"
+   * line. Aggregation runs in the engine (groupBy site/event — the jq
+   * `group_by(.span.plugin)` analog); only the per-site rendered sections
+   * are collected (bounded by the site fleet, not the post count).
+   */
+  def markdownReport(events: DataFrame): String = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events.groupBy("event").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    def c(e: String): Long = counts.getOrElse(e, 0L)
+
+    // one section per site: "### <site>\n> N new posts\n- [title](url)..."
+    // (action.yml:67,72 jq template). Post order within a site follows the
+    // event emission order (merge rank), carried as an explicit sort key.
+    def sections(eventType: String, noun: String): Seq[String] = events
+      .filter(col("event") === eventType)
+      .groupBy(col("site_id"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("post_id"), col("title"), col("url"))))
+          .as("posts"))
+      .select(col("site_id"), col("n"),
+        concat_ws("\n", transform(col("posts"),
+          p => concat(lit("- ["), p.getField("title"), lit("]("),
+            p.getField("url"), lit(")")))).as("body"))
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+      .map { case (site, n, body) => s"### $site\n> $n $noun\n$body" }
+
+    val sb = new StringBuilder
+    sb ++= "# 컨텐츠 업데이트\n\n"
+    sb ++= s"${c("crawl_success")} 성공, **${c("crawl_failed")} 실패**\n"
+    if (c("post_created") > 0) {
+      sb ++= "## 게시된 공지\n"
+      sections("post_created", "new posts").foreach(s => sb ++= s + "\n")
+    }
+    sb ++= "\n"
+    if (c("post_updated") > 0) {
+      sb ++= "## 수정된 공지\n"
+      sections("post_updated", "updated posts").foreach(s => sb ++= s + "\n")
+    }
+    if (c("post_created") == 0 && c("post_updated") == 0)
+      sb ++= "_게시 혹은 변경된 공지가 없습니다._\n"
+    sb.result()
+  }
+
+  private def sha(parts: String*): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(p => d.update(p.getBytes("UTF-8")))
+    d.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Distributed per-file digest of every regular file under `dir`,
+    * keyed by the repo-relative path `prefix/<relpath>`. */
+  private def manifest(spark: SparkSession, prefix: String, dir: String): Seq[(String, String)] = {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(dir)
+      .select(col("path"), sha2(col("content"), 256).as("digest"))
+      .as[(String, String)].collect().toSeq
+      .map { case (p, h) =>
+        val abs = java.nio.file.Paths.get(new java.net.URI(p).getPath)
+        val rel = root.toAbsolutePath.relativize(abs).toString
+        (if (prefix.isEmpty) rel else s"$prefix/$rel", h)
+      }.sortBy(_._1)
+  }
+
+  private def readHead(repoDir: java.nio.file.Path): Option[Commit] = {
+    val head = repoDir.resolve(".graft/HEAD")
+    if (!java.nio.file.Files.exists(head)) None
+    else {
+      val id = java.nio.file.Files.readString(head).trim
+      val node = SiteJson.mapper.readTree(
+        java.nio.file.Files.readString(repoDir.resolve(s".graft/commits/$id.json")))
+      Some(Commit(id,
+        Option(node.get("parent")).filterNot(_.isNull).map(_.asText()),
+        node.get("tree").asText(), node.get("message").asText(),
+        node.get("files").asLong(), created = false))
+    }
+  }
+
+  /**
+   * Publish `srcs` (prefix -> local directory, e.g. "out" -> the run's
+   * sink dir, ".cache" -> the cache dir) into `repoDir`:
+   * tree-hash the sources (distributed), compare against HEAD, and either
+   * no-op or copy the tree + append a commit record. `now` stamps the
+   * commit message in the reference's Asia/Seoul format
+   * (daemon.yml:139-143 `update: $(date +'%Y-%m-%d %H:%M')`).
+   */
+  def publish(spark: SparkSession, repoDir: String,
+      srcs: Seq[(String, String)], now: java.sql.Timestamp): Commit = {
+    val repo = java.nio.file.Paths.get(repoDir)
+    java.nio.file.Files.createDirectories(repo.resolve(".graft/commits"))
+
+    val files = srcs.flatMap { case (prefix, dir) => manifest(spark, prefix, dir) }
+      .sortBy(_._1)
+    val tree = sha(files.map { case (p, h) => s"$p $h\n" }: _*)
+    val head = readHead(repo)
+    if (head.exists(_.tree == tree))
+      return head.get // "no changes to commit" (daemon.yml:143)
+
+    // working-tree update (cp -rv analog): copy changed/new files, drop
+    // files that vanished from the published tree
+    srcs.foreach { case (prefix, dir) =>
+      val root = java.nio.file.Paths.get(dir)
+      val pubRoot = if (prefix.isEmpty) repo else repo.resolve(prefix)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        // skip hidden marker files (_SUCCESS, .crc) — Spark's file index
+        // excludes them from the manifest, so copying them would leave the
+        // working tree out of sync with the committed tree
+        try walk.filter(java.nio.file.Files.isRegularFile(_))
+          .filter { p =>
+            val n = p.getFileName.toString
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+          .forEach { src =>
+            val dst = pubRoot.resolve(root.relativize(src).toString)
+            java.nio.file.Files.createDirectories(dst.getParent)
+            java.nio.file.Files.copy(src, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } finally walk.close()
+      }
+    }
+    // the published tree fully owns the repo (the reference repo is exactly
+    // out/* + .cache/): drop any tracked file that vanished from the tree,
+    // never touching the commit metadata under .graft
+    val keep = files.map { case (p, _) => repo.resolve(p) }.toSet
+    val sweep = java.nio.file.Files.walk(repo)
+    try {
+      sweep.filter(java.nio.file.Files.isRegularFile(_))
+        .filter(p => !p.startsWith(repo.resolve(".graft")) && !keep.contains(p))
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    } finally sweep.close()
+
+    val seoul = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+      .withZone(java.time.ZoneId.of("Asia/Seoul"))
+    val message = s"update: ${seoul.format(now.toInstant)}"
+    val parent = head.map(_.id)
+    val id = sha(parent.getOrElse(""), tree, message)
+    val node = SiteJson.mapper.createObjectNode()
+    parent.fold { node.putNull("parent"); () } { p => node.put("parent", p); () }
+    node.put("tree", tree)
+    node.put("message", message)
+    node.put("files", files.size.toLong)
+    val filesNode = node.putObject("manifest")
+    files.foreach { case (p, h) => filesNode.put(p, h) }
+    java.nio.file.Files.writeString(
+      repo.resolve(s".graft/commits/$id.json"), SiteJson.pretty(node))
+    java.nio.file.Files.writeString(repo.resolve(".graft/HEAD"), id)
+    Commit(id, parent, tree, message, files.size.toLong, created = true)
+  }
+}

@@ -159,7 +159,7 @@ object Ics {
 
 object SiteJson {
 
-  private val mapper = {
+  private[sinks] val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m
   }

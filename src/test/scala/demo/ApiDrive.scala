@@ -155,6 +155,19 @@ object ApiDrive {
     val bmp = graft.operators.Multimodal.Codecs.encodeBmp(12, 7, 1L)
     println("bmp parse: " + graft.operators.Multimodal.Codecs.parseBmp(bmp))
     println("bmp reject: " + graft.operators.Multimodal.Codecs.parseBmp("nope".getBytes))
+
+    // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
+    // is a no-op ("no changes to commit")
+    val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",
+      Seq("" -> s"$dir/out", ".cache" -> s"$dir/cache"),
+      java.sql.Timestamp.valueOf("2026-01-16 00:00:00"))
+    val c2 = graft.sinks.Publish.publish(spark, s"$dir/repo",
+      Seq("" -> s"$dir/out", ".cache" -> s"$dir/cache"),
+      java.sql.Timestamp.valueOf("2026-01-16 00:05:00"))
+    println(s"publish: '${c1.message}' files=${c1.files} noop_repeat=${!c2.created}")
+    println("publish summary:\n" +
+      graft.sinks.Publish.markdownReport(res2.pipeline.events).linesIterator
+        .take(3).mkString("\n"))
     spark.stop()
   }
 }

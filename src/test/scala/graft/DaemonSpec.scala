@@ -46,6 +46,37 @@ class DaemonSpec extends SparkSuite {
     assert(next.count() === out.cache.count())
   }
 
+  test("daemon --publish: out/ + cache committed into the data repo with SUMMARY.md (K6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-daemon-pub").toString
+    val opts = Daemon.Options(out = s"$dir/out", cache = s"$dir/cache",
+      limit = 10, scale = 60, publishRepo = Some(s"$dir/repo"),
+      include = Seq("scatch.ssu.ac.kr", "biz.ssu.ac.kr"))
+    Daemon.run(spark, opts)
+
+    // step summary written from the engine aggregation (action.yml:59-77)
+    val md = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/out/reports/SUMMARY.md"))
+    assert(md.startsWith("# 컨텐츠 업데이트"))
+    assert(md.contains("2 성공, **0 실패**"))
+
+    // the data repo holds out/* at the root and the cache under .cache/
+    // (cp -rv ssufid/.cache/ . && cp -rv ssufid/out/* . — daemon.yml:129-131)
+    val repo = java.nio.file.Paths.get(s"$dir/repo")
+    val head = java.nio.file.Files.readString(repo.resolve(".graft/HEAD")).trim
+    val commit = java.nio.file.Files.readString(
+      repo.resolve(s".graft/commits/$head.json"))
+    assert(commit.contains("\"update: 2026-01-15 09:00\"")) // Seoul clock
+    assert(java.nio.file.Files.exists(repo.resolve("calendar.ics")))
+    assert(java.nio.file.Files.exists(repo.resolve("reports/SUMMARY.md")))
+    assert(java.nio.file.Files.list(repo.resolve(".cache")).count() > 0)
+    assert(java.nio.file.Files.list(repo.resolve("sites")).count() > 0)
+
+    // a clean re-publish of the same outputs is "no changes to commit"
+    val again = graft.sinks.Publish.publish(spark, s"$dir/repo",
+      Seq("" -> opts.out, ".cache" -> opts.cache), opts.now)
+    assert(!again.created && again.id == head)
+  }
+
   test("incremental cache: a second run rewrites ONLY the crawled sites' partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-daemon-incr").toString
     // limit 20 so biz's crawl window (ids 30..11 at scale 60 / zipf 2)
