@@ -389,16 +389,36 @@ object Crawl {
       // and is pure GC pressure at 10^10 — stage-out to storage is the
       // 100 TB design, and every downstream consumer (counts, seen-set,
       // lineage, the fetch stage itself) reads the columnar file back.
+      // derivable columns (canonical = url_canonicalize(url), host =
+      // url_host(url)) are NOT stored: the codegen'd kernels recompute them
+      // lazily at read time, so the wave file carries one URL string
+      // instead of three — fewer parquet bytes through the (memory-
+      // bandwidth-contended) stage-out, and consumers that never touch
+      // them (the fetch stage prunes to url/site/kind/page/row/depth)
+      // never pay for them at all
       val wavePath = s"$workDir/waves/w$wave/schedule"
+      // A/B knob: the salted write exchange spreads the hot host's rows
+      // across writers (Zipf rank-1 is a ~25% single-task straggler
+      // without it); =0 writes straight from the fused layout
+      val saltedWrite = !sys.env.get("SPARK_GRAFT_SALTED_WRITE").contains("0")
       tick("stageout.write", wave) {
-        scheduled.repartition(parallelism, col("host_hash"), col("salt"))
-          .withColumn("canonical", GraftFunctions.url_canonicalize(col("url")))
-          .withColumn("host", GraftFunctions.url_host(col("url")))
+        (if (saltedWrite)
+          scheduled.repartition(parallelism, col("host_hash"), col("salt"))
+        else scheduled)
           .withColumn("wave", lit(wave))
           .withColumn("partition_id", spark_partition_id())
-          .write.mode("overwrite").parquet(wavePath)
+          .write.mode("overwrite")
+          // wave files are transient single-reader stage-out; pinned A/B at
+          // N=2/N=8 over snappy/lz4/none showed lz4 ~15% slower and
+          // snappy vs none within host noise — keep the parquet default,
+          // expose the knob for cluster-specific tuning
+          .option("compression", sys.env.getOrElse("SPARK_GRAFT_WAVE_CODEC", "snappy"))
+          .parquet(wavePath)
       }
-      val fetchInput = spark.read.parquet(wavePath)
+      val staged = spark.read.parquet(wavePath)
+      val fetchInput = staged
+        .withColumn("canonical", GraftFunctions.url_canonicalize(col("url")))
+        .withColumn("host", GraftFunctions.url_host(col("url")))
 
       val waveLineageBase = fetchInput.groupBy(col("partition_id"))
         .agg(count(lit(1)).as("fetched"))

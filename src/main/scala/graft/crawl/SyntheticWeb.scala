@@ -92,18 +92,27 @@ object SyntheticWeb {
     val effRev = if (changesAtRev1(n) && rev >= 1) 1 else 0
     val h0 = mix(mix(seed, site.site_id.hashCode.toLong), n * 31 + effRev)
     val nTokens = 20 + (math.abs(h0) % 60).toInt
-    val words = (0 until nTokens).map { i =>
-      vocab((math.abs(mix(h0, i.toLong)) % vocab.length).toInt)
-    }
+    // single-pass body build: at crawl scale fetchPost runs millions of
+    // times per wave, so the body is written straight into one
+    // StringBuilder (no intermediate word collection / joins) — the
+    // emitted bytes are identical to the naive take/drop/mkString form
+    def word(i: Int): String = vocab((math.abs(mix(h0, i.toLong)) % vocab.length).toInt)
     val hasImage = math.abs(h0) % 3 == 0
     val hasAttach = math.abs(h0) % 4 == 0
     val imgRef = s"https://${site.host}/files/img_$n.jpg"
     val attRef = s"https://${site.host}/files/doc_$n.hwp"
     val content = {
-      val mid = words.length / 2
-      val sb = new StringBuilder(words.take(mid).mkString(" "))
-      if (hasImage) sb.append(s""" <img src="$imgRef">""")
-      sb.append(" ").append(words.drop(mid).mkString(" "))
+      val mid = nTokens / 2
+      val sb = new StringBuilder(nTokens * 9 + 64)
+      var i = 0
+      while (i < mid) {
+        if (i > 0) sb.append(' ')
+        sb.append(word(i)); i += 1
+      }
+      if (hasImage) sb.append(" <img src=\"").append(imgRef).append("\">")
+      while (i < nTokens) {
+        sb.append(' ').append(word(i)); i += 1
+      }
       if (effRev == 1) sb.append(" [개정판 rev1]")
       sb.toString
     }
@@ -115,7 +124,7 @@ object SyntheticWeb {
       id = n.toString,
       url = postUrl(site, n),
       author = if (math.abs(h0) % 5 == 0) None else Some(s"작성자${math.abs(h0) % 50}"),
-      title = s"[${site.site_id}] ${words.head} ${words(1)} #$n",
+      title = s"[${site.site_id}] ${word(0)} ${word(1)} #$n",
       description = None,
       category = if (n % 9 == 0) Seq("공지") else Seq.empty,
       created_at = created,
