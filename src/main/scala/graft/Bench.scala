@@ -87,11 +87,17 @@ object Bench {
 
     // ---- phase 1: query timings ----
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    // comma-separated substring filter for single-query iteration
+    val onlyQueries = sys.env.get("SPARK_GRAFT_ONLY_QUERIES")
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
       else {
         val spark1 = session(cpusQueries)
-        val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val rs = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (name, _) =>
+            onlyQueries.isEmpty || onlyQueries.exists(name.contains) }
+          .map { case (name, fn) =>
           val t0 = System.nanoTime()
           try fn(spark1, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
@@ -193,6 +199,12 @@ object Bench {
     val runsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long, Long), Long)]
     val burnsLow = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val burnsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // maxRounds=0: query-iteration mode — skip the scaling phase entirely
+    if (maxRounds == 0) {
+      val qs0 = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      println(f"""{"metric":"total","value":${results.map(_._2).sum}%.3f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      return
+    }
     var round = 0
     while (round < maxRounds) {
       if (pin) { burnsLow += burnRun(cpusLow); burnsHigh += burnRun(cpusHigh) }

@@ -49,6 +49,114 @@ object Kernels {
     else u(graft.parse.Html.parse(html.toString).selectFirst(sel.toString)
       .flatMap(_.attr(attr.toString)).orNull)
 
+  /**
+   * Distinct word-n-gram shingle hashes straight from the text bytes: the
+   * values are EXACTLY `xxhash64(concat_ws(' ', slice(tokens, i, n)))`
+   * over `array_distinct`'d shingles (XXH64, seed 42, over the same UTF-8
+   * bytes; first-occurrence order) — but computed with ONE reused byte
+   * buffer instead of materializing millions of shingle strings through
+   * tokenize/slice/concat column expressions. The shingle stage is the
+   * shared hot path of the n-gram Jaccard and MinHash-LSH dedup operators.
+   */
+  def shingleHash64(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    if (text == null) return empty
+    val raw = text.toLowerCase.toString.split("\\s+")
+    var m = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) m += 1; i += 1 }
+    if (m < n) return empty
+    val toks = new Array[Array[Byte]](m)
+    i = 0; var j = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        toks(j) = raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8); j += 1
+      }
+      i += 1
+    }
+    val count = m - n + 1
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var nOut = 0
+    var buf = new Array[Byte](256)
+    i = 0
+    while (i < count) {
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += toks(i + k).length; k += 1 }
+      if (len > buf.length) buf = new Array[Byte](len * 2)
+      var p = 0
+      k = 0
+      while (k < n) {
+        if (k > 0) { buf(p) = ' '.toByte; p += 1 }
+        val t = toks(i + k)
+        System.arraycopy(t, 0, buf, p, t.length); p += t.length
+        k += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      if (seen.add(h)) { out(nOut) = h; nOut += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (nOut == count) out else java.util.Arrays.copyOf(out, nOut))
+  }
+
+  /** splitmix64 finalizer — cheap full-avalanche 64-bit mixer. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * One-pass MinHash band buckets over a document's shingle-hash array:
+   * the `numBands * rowsPerBand` per-seed minima via the standard two-hash
+   * construction `h_i = h1 + i * h2` (Cohen et al.; one mixer pair per
+   * shingle, two ALU ops per seed), folded into one bucket hash per band.
+   * Replaces `numBands * rowsPerBand` separate array traversals (each an
+   * allocated intermediate array + per-element xxhash) and the
+   * string-concat band hashing with a single static call per document.
+   * An empty shingle array yields the MaxValue-minima buckets — all empty
+   * documents collide everywhere and are then rejected by the exact-Jaccard
+   * verify, matching the column-fold semantics it replaces.
+   */
+  def minhashBands(shingleHashes: org.apache.spark.sql.catalyst.util.ArrayData,
+      numBands: Int, rowsPerBand: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val numHashes = numBands * rowsPerBand
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingleHashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = shingleHashes.getLong(i)
+      val h1 = mix64(h)
+      val h2 = mix64(h ^ 0x71D67FFFEDA60000L) | 1L // odd => all seeds distinct
+      var j = 0
+      var m = h1
+      while (j < numHashes) {
+        if (m < mins(j)) mins(j) = m
+        m += h2
+        j += 1
+      }
+      i += 1
+    }
+    val buckets = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = mix64(b.toLong)
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = mix64(acc ^ mins(b * rowsPerBand + r))
+        r += 1
+      }
+      buckets(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — deterministic token hash for simhash. */
   private def fnv64(t: String): Long = {
     var h = -3750763034362895579L // FNV offset basis
@@ -162,6 +270,29 @@ object GraftFunctions {
   def simhash64(c: Column): Column = ColumnBridge.column(
     StaticInvoke(K, org.apache.spark.sql.types.LongType, "simhash64",
       Seq(ColumnBridge.expression(c)), inputTypes = Seq(StringType)))
+
+  /** Distinct word-n-gram shingle hashes of a text column (array<bigint>,
+    * value-identical to hashing the shingle strings) — codegen'd kernel. */
+  def shingle_hash64(text: Column, n: Int): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      "shingleHash64",
+      Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(n))),
+      inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)))
+
+  /** MinHash band-bucket hashes (array<bigint>, one per band) of a
+    * shingle-hash array column — single-pass codegen'd kernel. */
+  def minhash_bands(shingleHashes: Column, numBands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      "minhashBands",
+      Seq(ColumnBridge.expression(shingleHashes),
+        ColumnBridge.expression(lit(numBands)), ColumnBridge.expression(lit(rowsPerBand))),
+      inputTypes = Seq(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType)))
 
   /** Cosine similarity over two array<double> columns (codegen'd static
     * kernel; callers pre-cast float embeddings ONCE, not per pair). */

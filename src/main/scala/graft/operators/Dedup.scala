@@ -90,8 +90,8 @@ object Dedup {
     // dominant shuffle's bytes 3-5x (64-bit collisions are negligible
     // against per-document shingle sets).
     val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("_shingle"))
-      .select(col("id"), xxhash64(col("_shingle")).as("shingle_h"))
+      .select(col(idCol).as("id"), explode(
+        graft.functions.GraftFunctions.shingle_hash64(col(textCol), n)).as("shingle_h"))
       .localCheckpoint()
     val filtered =
       if (maxShingleFreq <= 0) sh
@@ -131,9 +131,10 @@ object Dedup {
       array_min(transform(shingleHashes, h => mix(h, i)))
     }: _*)
 
-  /** Shingle-hash array for [[minhashSignatureFromHashes]]. */
+  /** Shingle-hash array for [[minhashSignatureFromHashes]] — the codegen'd
+    * byte-level kernel (value-identical to hashing the shingle strings). */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    graft.functions.GraftFunctions.shingle_hash64(text, n)
 
   /**
    * MinHash + LSH candidate generation and verification:
@@ -146,27 +147,26 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    // two projections with a no-inline barrier between shingling and the
-    // per-mixer folds (CollapseProject would otherwise duplicate the
-    // shingle computation numHashes times); localCheckpoint (not cache) so
-    // the staged blocks are reclaimed with the plan, not pinned until an
-    // external clearCache()
+    // one staged projection: the shingle-hash array feeds BOTH the banding
+    // kernel and the exact-Jaccard verify (no re-tokenization, and the
+    // verify intersects 8-byte longs, not shingle strings); localCheckpoint
+    // (not cache) so the staged blocks are reclaimed with the plan, not
+    // pinned until an external clearCache()
     val hashed = df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), n).as("_shh")).localCheckpoint()
-    val sig = hashed.select(col("id"),
-      minhashSignatureFromHashes(col("_shh"), numHashes).as("sig"))
-    val bands = sig.select(col("id"), posexplode(
-      array((0 until numBands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "bucket")))
+    // band buckets in ONE codegen'd kernel pass per document (the former
+    // shape — numHashes array transforms + string-concat band folds — spent
+    // q27's whole budget allocating intermediate signature arrays)
+    val bands = hashed.select(col("id"), posexplode(
+      graft.functions.GraftFunctions.minhash_bands(col("_shh"), numBands, rowsPerBand))
+      .as(Seq("band", "bucket")))
     val l = bands.select(col("id").as("a"), col("band"), col("bucket"))
     val r = bands.select(col("id").as("b"), col("band"), col("bucket"))
     val candidates = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // verify with exact jaccard on the candidate set only
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // verify with exact jaccard (over the hashed shingle sets) on the
+    // candidate set only
+    val sh = hashed.select(col("id"), col("_shh").as("sh"))
     candidates
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))

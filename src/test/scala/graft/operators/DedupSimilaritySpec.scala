@@ -24,6 +24,23 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(fp.count() === docs.count())
   }
 
+  test("shingle-hash kernel is value-identical to hashing the shingle strings") {
+    // the byte-level kernel must emit exactly xxhash64(concat_ws(' ',
+    // slice(tokens, i, n))) over array_distinct'd shingles — same values,
+    // same first-occurrence order — on real corpus text and edge cases
+    val texts = docs.select("text").as[String].take(50).toSeq ++ Seq(
+      "  leading and   multi space", "한국어 토큰 혼합 English words here",
+      "one two", "one two three", "a a a a a", "")
+    val df = texts.toDF("text")
+    val viaStrings = df.select(
+      transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    val viaKernel = df.select(
+      graft.functions.GraftFunctions.shingle_hash64(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    assert(viaKernel === viaStrings)
+  }
+
   test("minhash LSH pairs achieve >=90% recall of exact jaccard pairs at 0.5") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
