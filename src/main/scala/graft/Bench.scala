@@ -205,9 +205,30 @@ object Bench {
       println(f"""{"metric":"total","value":${results.map(_._2).sum}%.3f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
       return
     }
+    // Quiet-window seeking: the calibration burn doubles as a noise probe.
+    // If the same-moment memory-bandwidth ceiling is below the quiet
+    // threshold the host cannot EXPRESS scaling right now (the crawl's
+    // ratio would measure the neighbors, not the engine) — nap briefly and
+    // reprobe, within a bounded budget shared across rounds. Every pair
+    // that runs is still measured and reported; waiting only repositions
+    // WHEN a pair runs, never which results count.
+    var quietWaitLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "240").toInt
     var round = 0
     while (round < maxRounds) {
-      if (pin) { burnsLow += burnRun(cpusLow); burnsHigh += burnRun(cpusHigh) }
+      if (pin) {
+        var bl = burnRun(cpusLow)
+        var bh = burnRun(cpusHigh)
+        while (quietWaitLeft > 0 && bl._2 / bh._2 < quietThreshold) {
+          val nap = math.min(30, quietWaitLeft)
+          System.err.println(f"[bench] host noisy (membw ${bl._2 / bh._2}%.2f < " +
+            f"$quietThreshold%.2f), napping ${nap}s (${quietWaitLeft}s budget left)")
+          Thread.sleep(nap * 1000L)
+          quietWaitLeft -= nap
+          bl = burnRun(cpusLow)
+          bh = burnRun(cpusHigh)
+        }
+        burnsLow += bl; burnsHigh += bh
+      }
       val rl = timedRun(cpusLow, warm = round == 0)
       System.err.println(f"[bench] local[$cpusLow] round${round + 1}: ${rl._1}%.2fs")
       runsLow += rl
