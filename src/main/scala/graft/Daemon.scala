@@ -224,7 +224,15 @@ object Daemon {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("site_id")
       .parquet(opts.cache)
+    // calendar cache advances via the rename-aside snapshot swap: the new
+    // version is written BESIDE the live one (its plan still reads the old
+    // files), then committed — a mid-swap crash leaves the old snapshot or
+    // a recoverable .old sibling, and the NEXT run actually sees this
+    // run's calendar merges
     cal.cache.write.mode("overwrite").parquet(s"${opts.cache}_calendar_next")
+    graft.streaming.StreamingMerge.swapSnapshot(spark,
+      s"${opts.cache}_calendar", s"${opts.cache}_calendar_next",
+      opts.now.getTime.toString)
 
     // analyze-report markdown summary (action.yml:38-77 — the step-summary
     // payload; also the Slack block content, which is network-bound and out

@@ -50,16 +50,28 @@ object StreamingMerge {
         // treats NotFound as first-run, core/mod.rs read_cache).
         val tmp = cacheDir + s".v$batchId"
         merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(cacheDir)
-        val aside = new org.apache.hadoop.fs.Path(cacheDir + s".old$batchId")
-        if (fs.exists(dst)) fs.rename(dst, aside)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst) // commit point
-        if (fs.exists(aside)) fs.delete(aside, true)       // cleanup after commit
-        ()
+        swapSnapshot(spark, cacheDir, tmp, batchId.toString)
       }
       .start()
+  }
+
+  /**
+   * Snapshot-commit: swap the freshly-written `tmp` snapshot into `dir`.
+   * The OLD snapshot is renamed ASIDE (never deleted before the new one is
+   * in place): a crash mid-swap leaves either the old snapshot live or a
+   * recoverable `.old` sibling — never silently-empty state (the reference
+   * only treats NotFound as first-run, core/mod.rs read_cache).
+   */
+  private[graft] def swapSnapshot(
+      spark: SparkSession, dir: String, tmp: String, tag: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val aside = new org.apache.hadoop.fs.Path(dir + s".old$tag")
+    if (fs.exists(dst)) fs.rename(dst, aside)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst) // commit point
+    if (fs.exists(aside)) fs.delete(aside, true)       // cleanup after commit
+    ()
   }
 
   /**

@@ -46,6 +46,23 @@ class DaemonSpec extends SparkSuite {
     assert(next.count() === out.cache.count())
   }
 
+  test("calendar cache ADVANCES across runs (rename-aside swap, no _next leftover)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-daemon-cal").toString
+    val opts = Daemon.Options(out = s"$dir/out", cache = s"$dir/cache",
+      limit = 5, scale = 60, include = Seq("ssu-academic-calendar"))
+    Daemon.run(spark, opts)
+    // the swap committed this run's calendar merge into the LIVE cache path
+    // (count captured eagerly: the second run's swap replaces these files)
+    val liveRows = spark.read.parquet(s"$dir/cache_calendar").count()
+    assert(liveRows > 0)
+    assert(!new java.io.File(s"$dir/cache_calendar_next").exists())
+    // a second run reads the advanced snapshot and re-commits idempotently
+    // (replace-in-range over the same synthetic year pages)
+    Daemon.run(spark, opts.copy(
+      now = java.sql.Timestamp.valueOf("2026-01-16 00:00:00")))
+    assert(spark.read.parquet(s"$dir/cache_calendar").count() === liveRows)
+  }
+
   test("daemon --publish: out/ + cache committed into the data repo with SUMMARY.md (K6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-daemon-pub").toString
     val opts = Daemon.Options(out = s"$dir/out", cache = s"$dir/cache",
