@@ -49,6 +49,32 @@ class PlanAuditSpec extends SparkSuite {
     assert("\\(\\d+\\) Project \\[codegen id".r.findFirstIn(formatted).isDefined, formatted)
   }
 
+  test("dedup kernels (q26/q27): shingle + minhash-band StaticInvokes, codegen'd, no string shuffle") {
+    // the shingle stage itself (it sits behind q26/q27's localCheckpoint
+    // barrier, so audit the projection directly): byte-level kernel as a
+    // codegen'd StaticInvoke
+    val shingleStage = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.GraftFunctions.shingle_hash64(col("text"), 3)))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(shingleStage.contains("static_invoke") && shingleStage.contains("shingleHash64"),
+      "shingle kernel must be a StaticInvoke")
+    assert("\\(\\d+\\) Generate \\[codegen id".r.findFirstIn(shingleStage).isDefined ||
+      "\\(\\d+\\) Project \\[codegen id".r.findFirstIn(shingleStage).isDefined, shingleStage)
+    // the pair join keys on the 8-byte hash — no shingle-string column
+    // survives anywhere in the q26 plan
+    val q26 = SparkEntry.queries("q26_ngram_jaccard")(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!q26.contains("_shingle#"), "no shingle-string column in the q26 plan")
+    val q27 = SparkEntry.queries("q27_minhash_lsh")(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // band buckets come from the one-pass kernel (codegen proven on the
+    // non-adaptive shingle stage above — AQE's pre-execution formatted
+    // plan carries no codegen ids), and no 64-wide signature array or
+    // band-concat string machinery remains anywhere in the plan
+    assert(q27.contains("minhashBands"), "q27 band kernel")
+    assert(!q27.contains("concat_ws"), "no string-concat band hashing in q27")
+  }
+
   test("near-dup pairs (q45): tile equi-join + codegen'd cosine kernel, no nested-loop join") {
     val df = SparkEntry.queries("q45_embedding_neardup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
