@@ -336,6 +336,22 @@ object GraftFunctions {
       (args: Seq[Expression]) => StaticInvoke(K,
         org.apache.spark.sql.types.LongType, "simhash64", args.take(1),
         inputTypes = Seq(StringType)), "built-in")
+    registry.createOrReplaceTempFunction("shingle_hash64",
+      (args: Seq[Expression]) => StaticInvoke(K,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        "shingleHash64", args.take(2),
+        inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)),
+      "built-in")
+    registry.createOrReplaceTempFunction("minhash_bands",
+      (args: Seq[Expression]) => StaticInvoke(K,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        "minhashBands", args.take(3),
+        inputTypes = Seq(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType)),
+      "built-in")
     registry.createOrReplaceTempFunction("cosine_sim",
       (args: Seq[Expression]) => StaticInvoke(K,
         org.apache.spark.sql.types.DoubleType, "cosineSim", args.take(2),

@@ -39,6 +39,14 @@ class DedupSimilaritySpec extends SparkSuite {
       graft.functions.GraftFunctions.shingle_hash64(col("text"), 3).as("h"))
       .as[Seq[Long]].collect().toSeq
     assert(viaKernel === viaStrings)
+    // the SQL registration resolves to the same kernel
+    df.createOrReplaceTempView("shingle_docs")
+    val viaSql = spark.sql(
+      "SELECT shingle_hash64(text, 3) AS h FROM shingle_docs")
+      .as[Seq[Long]].collect().toSeq
+    assert(viaSql === viaStrings)
+    assert(spark.sql("SELECT size(minhash_bands(shingle_hash64(text, 3), 16, 4)) " +
+      "FROM shingle_docs").as[Int].collect().forall(_ == 16))
   }
 
   test("minhash LSH pairs achieve >=90% recall of exact jaccard pairs at 0.5") {
