@@ -251,6 +251,16 @@ object SparkEntry {
         numBands = 32, rowsPerBand = 2)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // ---- near-dup CLUSTERS: connected components (min-label + pointer
+    // jumping) over the exact-Jaccard pair table — the keep-one-per-cluster
+    // step of a dedup pipeline; oracle = recursive-CTE transitive closure
+    // over the same pairs in DuckDB ----
+    "q51_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          3, 0.5, maxShingleFreq = 20L))
+        .select(col("id").as("doc_id"), col("cluster"))),
+
     "q28_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)),
 
@@ -653,6 +663,27 @@ object SparkEntry {
         |SELECT a, b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
         |FROM inter JOIN sz x ON a = x.doc_id JOIN sz y ON b = y.doc_id
         |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin,
+
+    // transitive closure of the q26 pair graph via recursive CTE; cluster
+    // label = component minimum, exactly the engine's min-label fixpoint
+    "q51_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 0) + 1),
+        |  i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  AND s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20)
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter JOIN sz x ON a = x.doc_id
+        |  JOIN sz y ON b = y.doc_id WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+        |e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (SELECT u, v FROM e
+        |  UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u""".stripMargin,
 
     "q29_ann_brute" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

@@ -178,6 +178,67 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup PAIR table — the final step of a
+   * dedup pipeline: pairs (from any detector above) become clusters, and
+   * [[keepClusterRepresentatives]] keeps one canonical document per
+   * cluster. Min-label propagation with POINTER JUMPING: each round every
+   * node takes the min of (its label, its neighbors' labels, its label's
+   * label). The neighbor step alone needs O(diameter) rounds (bad on
+   * chain-shaped dup graphs); the label-of-label step halves pointer
+   * chains like union-find path compression, giving O(log n) rounds on
+   * any graph. Each round is two bounded shuffles over the (small) label
+   * table + one over the edge list; iteration stops at a fixpoint
+   * (counted, not assumed). Labels are staged per round with
+   * localCheckpoint so the loop never grows a lineage tree.
+   *
+   * Returns (id, cluster) for every id appearing in `pairs`; the cluster
+   * label is the component's minimum id.
+   */
+  def nearDupClusters(
+      pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor min: the smallest label adjacent to each node
+      val nbr = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min("cluster").as("nbr_min"))
+      // pointer jump: the label of my label
+      val hop = labels.select(col("id").as("jid"), col("cluster").as("jump_min"))
+      val next = labels
+        .join(nbr, Seq("id"), "left")
+        .join(hop, labels("cluster") === hop("jid"), "left")
+        .select(col("id"),
+          least(col("cluster"),
+            coalesce(col("nbr_min"), col("cluster")),
+            coalesce(col("jump_min"), col("cluster"))).as("cluster"),
+          (col("cluster") =!= least(col("cluster"),
+            coalesce(col("nbr_min"), col("cluster")),
+            coalesce(col("jump_min"), col("cluster")))).as("_changed"))
+        .localCheckpoint()
+      converged = next.filter(col("_changed")).limit(1).count() == 0
+      labels = next.drop("_changed")
+      iter += 1
+    }
+    labels
+  }
+
+  /** One canonical row per near-dup cluster: drops every row whose id maps
+    * to a cluster label other than itself (rows never seen in a pair are
+    * their own cluster and are kept). */
+  def keepClusterRepresentatives(
+      df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(
+      clusters.filter(col("id") =!= col("cluster")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /**
    * 64-bit SimHash over word tokens (computed in [[graft.functions.Kernels]]
    * as a codegen'd static call). Near-dup pairs = hamming distance <= maxDist,
    * found by probing permuted prefixes (here: 4 rotations as block keys —

@@ -156,6 +156,16 @@ object ApiDrive {
     println("bmp parse: " + graft.operators.Multimodal.Codecs.parseBmp(bmp))
     println("bmp reject: " + graft.operators.Multimodal.Codecs.parseBmp("nope".getBytes))
 
+    // 13b. Dedup pipeline end-to-end: pairs -> transitive clusters ->
+    // keep one canonical doc per cluster
+    val dupPairs = graft.operators.Dedup.ngramJaccardPairs(
+      docs001, "doc_id", "text", 3, 0.5, maxShingleFreq = 20L)
+    val clusters = graft.operators.Dedup.nearDupClusters(dupPairs)
+    val kept = graft.operators.Dedup.keepClusterRepresentatives(
+      docs001, "doc_id", clusters)
+    println(s"dedup clusters: ${clusters.select("cluster").distinct.count} " +
+      s"over ${clusters.count} paired docs; corpus ${docs001.count} -> kept ${kept.count}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",

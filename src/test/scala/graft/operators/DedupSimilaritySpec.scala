@@ -61,6 +61,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(lsh.size >= (exact.size * 0.9).toInt, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("near-dup clusters: transitive components, chain convergence, representative keep") {
+    // two chains and one isolated pair — clusters must close transitively
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("a", "b")
+    val cl = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+    // keep one canonical doc per cluster; unpaired docs survive untouched
+    val corpus = (1L to 14L).toDF("doc_id")
+    val kept = Dedup.keepClusterRepresentatives(
+      corpus, "doc_id", Dedup.nearDupClusters(pairs))
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L, 7L, 8L, 9L, 10L, 14L))
+    // a 40-node path graph: the worst case for plain min-label (needs 39
+    // neighbor rounds); pointer jumping must converge within maxIter=20
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainCl = Dedup.nearDupClusters(chain, maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(chainCl.forall(_._2 == 1L), chainCl.filter(_._2 != 1L).take(5).mkString(","))
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
     pairs.foreach { r =>
