@@ -100,7 +100,10 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val id = new String(bytes, off, 4)
         val sz = rdLe32(bytes, off + 4)
-        if (id == "fmt " && off + 16 <= bytes.length) {
+        // a corrupt negative/overflowing chunk size must terminate the walk
+        // (not loop or read out of bounds)
+        if (sz < 0) return None
+        if (id == "fmt " && off + 22 <= bytes.length) {
           rate = rdLe32(bytes, off + 12)
           blockAlign = rdLe16(bytes, off + 20)
         } else if (id == "data") dataLen = sz.toLong

@@ -46,6 +46,12 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.Codecs.parseWav(wav) === Some((16000, 500L))) // 8000/16000 s
     assert(Multimodal.Codecs.parseWav("RIFFxxxxJUNK".getBytes) === None)
     assert(Multimodal.Codecs.parseWav(Array.empty[Byte]) === None)
+    // corrupt payloads must terminate, not loop or read out of bounds:
+    // a negative chunk size, and a truncated fmt chunk
+    val neg = wav.clone(); neg(16) = -1; neg(17) = -1; neg(18) = -1; neg(19) = -1
+    assert(Multimodal.Codecs.parseWav(neg) === None)
+    assert(Multimodal.Codecs.parseWav(wav.take(44 + 2)) !== None) // still parses
+    assert(Multimodal.Codecs.parseWav(wav.take(33)) === None)     // fmt truncated
   }
 
   test("typed media: decodeMeta parses REAL headers back to the synthesized metadata") {
