@@ -89,10 +89,14 @@ object Dedup {
     // xxhash64 — 3-gram strings are 20-40 bytes, so hashing cuts the
     // dominant shuffle's bytes 3-5x (64-bit collisions are negligible
     // against per-document shingle sets).
-    val sh = df
+    val shPlan = df
       .select(col(idCol).as("id"), explode(
         graft.functions.GraftFunctions.shingle_hash64(col(textCol), n)).as("shingle_h"))
-      .localCheckpoint()
+    // staging on by default: four consumers read sh, and at cluster scale
+    // one materialization beats four corpus scans (A/B at sf0.1: within
+    // noise, 4.4 vs 4.6 s — the knob lets small corpora skip the barrier)
+    val sh = if (sys.env.get("SPARK_GRAFT_Q26_STAGE").contains("0")) shPlan
+             else shPlan.localCheckpoint()
     val filtered =
       if (maxShingleFreq <= 0) sh
       else {
