@@ -94,6 +94,11 @@ object Bench {
       if (skipQueries) Seq.empty[(String, Double)]
       else {
         val spark1 = session(cpusQueries)
+        // session/JIT/codegen warmup on a scan+agg so the first timed query
+        // measures the query, not JVM cold start (~4.5 s of the old q01)
+        try spark1.read.parquet(s"$sfDir/documents.parquet")
+          .groupBy(length(col("text")) % 7).count().count()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
         val rs = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (name, _) =>
             onlyQueries.isEmpty || onlyQueries.exists(name.contains) }
