@@ -243,9 +243,14 @@ object Daemon {
     // publish (K6): commit out/* + the cache into the data repository
     // ("update: YYYY-MM-DD HH:MM", no-op when the tree is unchanged —
     // daemon.yml:127-143)
+    // reports are per-run CI artifacts in the reference (uploaded, NOT
+    // copied into the data repo — daemon.yml:95-101 vs 127-131), so they
+    // are excluded from the published tree; with them out, an unchanged
+    // crawl republishes an identical tree and the commit is a no-op
     opts.publishRepo.foreach { repo =>
       graft.sinks.Publish.publish(spark, repo,
-        Seq("" -> opts.out, ".cache" -> opts.cache), opts.now)
+        Seq("" -> opts.out, ".cache" -> opts.cache), opts.now,
+        exclude = Seq("reports"))
     }
 
     val fullCache = cacheUntouched.select(touchedPosts.columns.map(col): _*)

@@ -118,25 +118,10 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** Deterministic per-seed 64-bit mixer: rehash with the seed as a second
-    * input (ANSI-safe: no overflowing arithmetic, stays codegen'd). */
-  private def mix(h: Column, seed: Int): Column = xxhash64(h, lit(seed))
-
-  /**
-   * MinHash signature over a PRE-COMPUTED shingle-hash array column: for
-   * each of `numHashes` seeded mixers, the minimum over the document's
-   * shingle hashes. Takes the hash array as input (not the text) so the
-   * expensive shingling is computed once, not once per mixer — feeding the
-   * text directly would inline the shingle expression `numHashes` times
-   * and blow up codegen.
-   */
-  def minhashSignatureFromHashes(shingleHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleHashes, h => mix(h, i)))
-    }: _*)
-
-  /** Shingle-hash array for [[minhashSignatureFromHashes]] — the codegen'd
-    * byte-level kernel (value-identical to hashing the shingle strings). */
+  /** Distinct shingle-hash array of a text column — the codegen'd
+    * byte-level kernel (value-identical to hashing the shingle strings);
+    * feeds both [[minhashLshPairs]]'s banding kernel and its exact-Jaccard
+    * candidate verify. */
   def shingleHashes(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.shingle_hash64(text, n)
 
@@ -230,6 +215,12 @@ object Dedup {
       labels = next.drop("_changed")
       iter += 1
     }
+    // truncated labels would make keepClusterRepresentatives silently
+    // under-delete (a split component keeps several "representatives") —
+    // fail loudly instead; pointer jumping converges in O(log n) rounds,
+    // so the default budget covers any realistic component
+    require(converged,
+      s"nearDupClusters did not converge within $maxIter rounds — raise maxIter")
     labels
   }
 

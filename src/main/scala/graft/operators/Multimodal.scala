@@ -95,19 +95,21 @@ object Multimodal {
     def parseWav(bytes: Array[Byte]): Option[(Int, Long)] = {
       if (bytes.length < 44 ||
         new String(bytes, 0, 4) != "RIFF" || new String(bytes, 8, 4) != "WAVE") return None
-      var off = 12
+      // Long offset arithmetic: a near-MaxInt chunk size must advance the
+      // walk past the end (terminating the loop), not overflow Int into a
+      // negative offset and read out of bounds
+      var off = 12L
       var rate = 0; var blockAlign = 0; var dataLen = -1L
       while (off + 8 <= bytes.length) {
-        val id = new String(bytes, off, 4)
-        val sz = rdLe32(bytes, off + 4)
-        // a corrupt negative/overflowing chunk size must terminate the walk
-        // (not loop or read out of bounds)
+        val id = new String(bytes, off.toInt, 4)
+        val sz = rdLe32(bytes, off.toInt + 4)
+        // a corrupt negative chunk size must terminate the walk
         if (sz < 0) return None
         if (id == "fmt " && off + 22 <= bytes.length) {
-          rate = rdLe32(bytes, off + 12)
-          blockAlign = rdLe16(bytes, off + 20)
+          rate = rdLe32(bytes, off.toInt + 12)
+          blockAlign = rdLe16(bytes, off.toInt + 20)
         } else if (id == "data") dataLen = sz.toLong
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
+        off += 8L + sz + (sz & 1) // chunks are word-aligned
       }
       if (rate <= 0 || blockAlign <= 0 || dataLen < 0) None
       else Some((rate, dataLen * 1000L / (rate.toLong * blockAlign)))

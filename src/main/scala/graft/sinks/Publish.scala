@@ -47,13 +47,17 @@ object Publish {
     def c(e: String): Long = counts.getOrElse(e, 0L)
 
     // one section per site: "### <site>\n> N new posts\n- [title](url)..."
-    // (action.yml:67,72 jq template). Post order within a site follows the
-    // event emission order (merge rank), carried as an explicit sort key.
+    // (action.yml:67,72 jq template). The events table carries no emission
+    // rank, so post order within a site is made DETERMINISTIC by a
+    // numeric-aware post_id sort (length-then-value: "9" before "10";
+    // plain lexicographic would invert numeric ids)
     def sections(eventType: String, noun: String): Seq[String] = events
       .filter(col("event") === eventType)
       .groupBy(col("site_id"))
       .agg(count(lit(1)).as("n"),
-        array_sort(collect_list(struct(col("post_id"), col("title"), col("url"))))
+        array_sort(collect_list(struct(
+          length(col("post_id")).as("_len"), col("post_id"),
+          col("title"), col("url"))))
           .as("posts"))
       .select(col("site_id"), col("n"),
         concat_ws("\n", transform(col("posts"),
@@ -85,6 +89,20 @@ object Publish {
     d.digest().map("%02x".format(_)).mkString
   }
 
+  /** Spark part files embed a fresh job UUID in their names on every
+    * write; publishing them verbatim would make the tree hash differ on
+    * every daemon cycle even when the CONTENT is identical, so the no-op
+    * path ("no changes to commit") would be unreachable. Normalize
+    * `part-00000-<uuid>[.c000][.ext]` to the stable `part-00000[.ext]` —
+    * the part index is the partition index (stable for the same data and
+    * partitioning), so identical runs publish identical trees. */
+  private val PartName = "^(part-\\d+)-[-a-zA-Z0-9]+?((?:\\.[a-z][a-z0-9]*)*)$".r
+  private def stableName(name: String): String = name match {
+    case PartName(part, ext) => part + ext.split("\\.").filterNot(_ == "c000")
+      .filter(_.nonEmpty).map("." + _).mkString
+    case other => other
+  }
+
   /** Distributed per-file digest of every regular file under `dir`,
     * keyed by the repo-relative path `prefix/<relpath>`. */
   private def manifest(spark: SparkSession, prefix: String, dir: String): Seq[(String, String)] = {
@@ -97,7 +115,9 @@ object Publish {
       .as[(String, String)].collect().toSeq
       .map { case (p, h) =>
         val abs = java.nio.file.Paths.get(new java.net.URI(p).getPath)
-        val rel = root.toAbsolutePath.relativize(abs).toString
+        val relPath = root.toAbsolutePath.relativize(abs)
+        val rel = Option(relPath.getParent).map(_.toString + "/").getOrElse("") +
+          stableName(relPath.getFileName.toString)
         (if (prefix.isEmpty) rel else s"$prefix/$rel", h)
       }.sortBy(_._1)
   }
@@ -125,11 +145,15 @@ object Publish {
    * (daemon.yml:139-143 `update: $(date +'%Y-%m-%d %H:%M')`).
    */
   def publish(spark: SparkSession, repoDir: String,
-      srcs: Seq[(String, String)], now: java.sql.Timestamp): Commit = {
+      srcs: Seq[(String, String)], now: java.sql.Timestamp,
+      exclude: Seq[String] = Seq.empty): Commit = {
     val repo = java.nio.file.Paths.get(repoDir)
     java.nio.file.Files.createDirectories(repo.resolve(".graft/commits"))
 
+    def excluded(rel: String): Boolean =
+      exclude.exists(e => rel == e || rel.startsWith(e + "/"))
     val files = srcs.flatMap { case (prefix, dir) => manifest(spark, prefix, dir) }
+      .filterNot { case (p, _) => excluded(p) }
       .sortBy(_._1)
     val tree = sha(files.map { case (p, h) => s"$p $h\n" }: _*)
     val head = readHead(repo)
@@ -151,8 +175,15 @@ object Publish {
             val n = p.getFileName.toString
             !n.startsWith("_") && !n.startsWith(".")
           }
+          .filter { p =>
+            val rel = root.relativize(p).toString
+            !excluded(if (prefix.isEmpty) rel else s"$prefix/$rel")
+          }
           .forEach { src =>
-            val dst = pubRoot.resolve(root.relativize(src).toString)
+            val rel = root.relativize(src)
+            val dst = pubRoot.resolve(
+              Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+                stableName(rel.getFileName.toString))
             java.nio.file.Files.createDirectories(dst.getParent)
             java.nio.file.Files.copy(src, dst,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -170,9 +201,14 @@ object Publish {
         .forEach(p => { java.nio.file.Files.delete(p); () })
     } finally sweep.close()
 
+    // the naive `now` wall clock is interpreted as UTC EXPLICITLY
+    // (Timestamp.toInstant would read it in the host's default zone,
+    // making the commit id depend on the machine's timezone), then
+    // rendered on the reference's Asia/Seoul clock
     val seoul = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
       .withZone(java.time.ZoneId.of("Asia/Seoul"))
-    val message = s"update: ${seoul.format(now.toInstant)}"
+    val message = "update: " + seoul.format(
+      now.toLocalDateTime.atOffset(java.time.ZoneOffset.UTC).toInstant)
     val parent = head.map(_.id)
     val id = sha(parent.getOrElse(""), tree, message)
     val node = SiteJson.mapper.createObjectNode()

@@ -68,9 +68,16 @@ object StreamingMerge {
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(dir)
     val aside = new org.apache.hadoop.fs.Path(dir + s".old$tag")
-    if (fs.exists(dst)) fs.rename(dst, aside)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst) // commit point
-    if (fs.exists(aside)) fs.delete(aside, true)       // cleanup after commit
+    // rename returns false (not an exception) on several FileSystems —
+    // every step must be CHECKED or a failed commit followed by the aside
+    // delete would destroy the only snapshot copy
+    if (fs.exists(dst))
+      require(fs.rename(dst, aside), s"snapshot swap: could not set aside $dir")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) { // commit point
+      if (fs.exists(aside)) fs.rename(aside, dst) // restore the old snapshot
+      throw new IllegalStateException(s"snapshot swap: could not commit $tmp -> $dir")
+    }
+    if (fs.exists(aside)) fs.delete(aside, true) // cleanup after commit
     ()
   }
 

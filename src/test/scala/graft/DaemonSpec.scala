@@ -84,14 +84,29 @@ class DaemonSpec extends SparkSuite {
       repo.resolve(s".graft/commits/$head.json"))
     assert(commit.contains("\"update: 2026-01-15 09:00\"")) // Seoul clock
     assert(java.nio.file.Files.exists(repo.resolve("calendar.ics")))
-    assert(java.nio.file.Files.exists(repo.resolve("reports/SUMMARY.md")))
+    // reports are CI artifacts (uploaded, not committed — daemon.yml:95-101
+    // vs 127-131): present in out/, excluded from the data repo
+    assert(!java.nio.file.Files.exists(repo.resolve("reports")))
     assert(java.nio.file.Files.list(repo.resolve(".cache")).count() > 0)
     assert(java.nio.file.Files.list(repo.resolve("sites")).count() > 0)
 
     // a clean re-publish of the same outputs is "no changes to commit"
     val again = graft.sinks.Publish.publish(spark, s"$dir/repo",
-      Seq("" -> opts.out, ".cache" -> opts.cache), opts.now)
+      Seq("" -> opts.out, ".cache" -> opts.cache), opts.now,
+      exclude = Seq("reports"))
     assert(!again.created && again.id == head)
+
+    // the FULL cycle no-ops too: an identical second daemon run (fresh out
+    // dir, rewritten cache partitions) publishes an identical tree —
+    // part names are normalized (the Spark job UUID would otherwise make
+    // every cycle a new commit) and reports are excluded like the
+    // reference's CI (artifacts, not repo content)
+    Daemon.run(spark, opts.copy(out = s"$dir/out_rerun",
+      publishRepo = Some(s"$dir/repo"),
+      now = java.sql.Timestamp.valueOf("2026-01-16 00:00:00")))
+    val head2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/repo/.graft/HEAD")).trim
+    assert(head2 === head, "identical rerun must be 'no changes to commit'")
   }
 
   test("incremental cache: a second run rewrites ONLY the crawled sites' partitions") {
