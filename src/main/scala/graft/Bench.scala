@@ -223,10 +223,13 @@ object Bench {
       if (pin) {
         var bl = burnRun(cpusLow)
         var bh = burnRun(cpusHigh)
-        while (quietWaitLeft > 0 && bl._2 / bh._2 < quietThreshold) {
+        // the probe naps on BOTH noise directions (see quietPairs below)
+        while (quietWaitLeft > 0 &&
+          (bl._2 / bh._2 < quietThreshold || bl._2 / bh._2 > 1.0 / quietThreshold)) {
           val nap = math.min(30, quietWaitLeft)
-          System.err.println(f"[bench] host noisy (membw ${bl._2 / bh._2}%.2f < " +
-            f"$quietThreshold%.2f), napping ${nap}s (${quietWaitLeft}s budget left)")
+          System.err.println(f"[bench] host noisy (membw ${bl._2 / bh._2}%.2f outside " +
+            f"[$quietThreshold%.2f, ${1.0 / quietThreshold}%.2f]), napping ${nap}s " +
+            s"(${quietWaitLeft}s budget left)")
           Thread.sleep(nap * 1000L)
           quietWaitLeft -= nap
           bl = burnRun(cpusLow)
@@ -271,7 +274,13 @@ object Bench {
     val pairEff = runsLow.zip(runsHigh).map { case (l, h) => (l._1 / h._1) / speedup }.toSeq
     val pairMembw = burnsLow.zip(burnsHigh).map { case (l, h) => l._2 / h._2 }.toSeq
     val pairNorm = pairEff.zip(pairMembw).map { case (e, m) => e / m }
-    val quietPairs = pairEff.zip(pairMembw).filter(_._2 >= quietThreshold).map(_._1)
+    // TWO-SIDED quiet band: a membw ratio far ABOVE 1.0 means the noise
+    // hit the LOW-cpu side, which would INFLATE the pair's crawl
+    // efficiency — such a pair must not qualify as gate evidence any more
+    // than a 0.6 ratio would
+    val quietPairs = pairEff.zip(pairMembw)
+      .filter { case (_, m) => m >= quietThreshold && m <= 1.0 / quietThreshold }
+      .map(_._1)
     val bestQuiet = if (quietPairs.nonEmpty) Some(quietPairs.max) else None
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

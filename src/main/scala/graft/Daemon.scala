@@ -142,6 +142,33 @@ object Daemon {
       graft.crawl.Retry.runAll(selectedSites.map(_.site_id))(id => preflight(byId(id), opts))
     val liveSiteIds = selectedSites.map(_.site_id).filter(okSites.contains)
 
+    // Config.include = Seq.empty means "no filter" (crawl everything), so
+    // the ALL-preflights-failed case must NOT fall through to a full-fleet
+    // crawl that would rewrite every cache partition with history-less
+    // merges — an empty survivor set crawls nothing: the run is pure error
+    // reporting, the cache is untouched (reference: every plugin failed ->
+    // error tally only, main.rs:118-125)
+    if (liveSiteIds.isEmpty) {
+      val failEvents = failedSites.toSeq
+        .map { case (site, e) => (site, "crawl_failed", null: String, e.getMessage, null: String) }
+        .toDF("site_id", "event", "post_id", "title", "url")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"${opts.out}/reports"))
+      graft.sinks.Report.write(failEvents, s"${opts.out}/reports/content_report")
+      failedSites.toSeq.map { case (site, e) => (site, e.getMessage) }
+        .toDF("site_id", "error")
+        .write.mode("overwrite").json(s"${opts.out}/reports/error_report")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${opts.out}/reports/SUMMARY.md"),
+        graft.sinks.Publish.markdownReport(failEvents))
+      val empty = Pipeline.emptyCache(spark)
+      return RunResult(
+        Pipeline.Output(empty, cache, spark.emptyDataFrame,
+          spark.emptyDataFrame, failEvents,
+          spark.emptyDataFrame, spark.emptyDataFrame),
+        failedSites)
+    }
+
     val cfg = Crawl.Config(scale = opts.scale, limitPerSite = opts.limit,
       rev = opts.rev, snapshotDir = opts.snapshotDir, include = liveSiteIds,
       faults = opts.failFetch)

@@ -141,26 +141,31 @@ object Crawl {
    * fetch — a task failure that fails the site's whole slice, like a
    * failed HTTP request fails the reference's whole plugin attempt).
    */
+  /** Expand ONE request with an already-resolved session provider — the
+    * single expansion used by the batch fetch stage AND the live-pacing
+    * path (so probe/link semantics can never diverge between the two). */
+  private[graft] def expandOne(
+      req: SyntheticWeb.Req, scale: Long, limit: Long, rev: Int, probe: Boolean,
+      sessionFor: String => Sso.Session): (Option[Post], Seq[SyntheticWeb.Req]) = {
+    val site = SyntheticWeb.siteById(req.site_id)
+    val session = if (site.family == "auth") Some(sessionFor(site.host)) else None
+    val (post, links0) = SyntheticWeb.expand(req, scale, limit, rev, session)
+    // with the static pagination fan-out, list pages were all seeded at
+    // wave 0 — drop the rediscovered next-page links (they are in the
+    // seen set anyway; this just avoids scheduling work)
+    (post, if (probe) links0.filter(_.kind != "list") else links0)
+  }
+
   private[graft] def expandPartition(
       it: Iterator[SyntheticWeb.Req], scale: Long, limit: Long, rev: Int,
       probe: Boolean, onBootstrap: () => Unit,
       faultCheck: SyntheticWeb.Req => Unit = _ => ()): Iterator[ExpandRow] = {
     val sessions = scala.collection.mutable.HashMap.empty[String, Sso.Session]
+    val sessionFor: String => Sso.Session =
+      host => sessions.getOrElseUpdate(host, { onBootstrap(); Sso.bootstrap(host) })
     it.flatMap { req =>
       faultCheck(req)
-      val site = SyntheticWeb.siteById(req.site_id)
-      val session =
-        if (site.family == "auth")
-          Some(sessions.getOrElseUpdate(site.host, {
-            onBootstrap()
-            Sso.bootstrap(site.host)
-          }))
-        else None
-      val (post, links0) = SyntheticWeb.expand(req, scale, limit, rev, session)
-      // with the static pagination fan-out, list pages were all seeded at
-      // wave 0 — drop the rediscovered next-page links (they are in the
-      // seen set anyway; this just avoids scheduling work)
-      val links = if (probe) links0.filter(_.kind != "list") else links0
+      val (post, links) = expandOne(req, scale, limit, rev, probe, sessionFor)
       (post.map(p => ExpandRow(Some(p), None)) ++
         links.map(l => ExpandRow(None, Some(l)))).iterator
     }
@@ -466,13 +471,11 @@ object Crawl {
             reqs,
             hostOf = r => SyntheticWeb.siteById(r.site_id).host,
             delayMsFor = h => delays.getOrElse(h, 300L),
-            fetch = (req, sessionFor) => {
-              val site = SyntheticWeb.siteById(req.site_id)
-              val session =
-                if (site.family == "auth") Some(sessionFor(site.host)) else None
-              val (post, links0) = SyntheticWeb.expand(req, scale, limit, rev, session)
-              (post, if (probe) links0.filter(_.kind != "list") else links0)
-            })
+            // the SAME expansion as the batch fetch stage (expandOne), and
+            // the same bootstrap accounting — live mode must not diverge
+            fetch = (req, sessionFor) =>
+              expandOne(req, scale, limit, rev, probe, sessionFor),
+            onBootstrap = () => ssoBootstraps.add(1L))
           val path = s"$workDir/waves/w$wave/fetched"
           fetched.toDF().write.mode("overwrite").parquet(path)
           val f = spark.read.parquet(path)
@@ -530,8 +533,15 @@ object Crawl {
       scheduleParts += fetchInput.select(
         "wave", "host", "url", "canonical", "url_hash", "site_id", "page", "row",
         "depth", "ready_ms", "crawl_delay_ms")
-      seenParts += fetchInput.select(col("url_hash"), col("wave").as("first_wave"))
-      seenCount += freshCount // fresh rows are disjoint from seen by construction
+      // a site that exhausted mid-crawl retries keeps its URLs OUT of the
+      // seen set: its fetches never happened, so a snapshot resume (or the
+      // next daemon run) must re-schedule them — the schedule rows above
+      // remain as the attempt record the error report cites
+      val seenInput =
+        if (midCrawlFailures.isEmpty) fetchInput
+        else fetchInput.filter(!col("site_id").isin(midCrawlFailures.keys.toSeq: _*))
+      seenParts += seenInput.select(col("url_hash"), col("wave").as("first_wave"))
+      seenCount += (if (midCrawlFailures.isEmpty) freshCount else seenInput.count())
       postParts += wavePosts
       lineageParts += waveLineage
 

@@ -39,12 +39,13 @@ object ThrottledFetch {
    */
   def run[I, O](
       reqs: Dataset[I], hostOf: I => String, delayMsFor: String => Long,
-      fetch: (I, String => Sso.Session) => O)(
+      fetch: (I, String => Sso.Session) => O,
+      onBootstrap: () => Unit = () => ())(
       implicit enc: Encoder[Fetched[O]]): Dataset[Fetched[O]] = {
     reqs.mapPartitions { it =>
       val sessions = scala.collection.mutable.HashMap.empty[String, Sso.Session]
       val sessionFor: String => Sso.Session =
-        host => sessions.getOrElseUpdate(host, Sso.bootstrap(host))
+        host => sessions.getOrElseUpdate(host, { onBootstrap(); Sso.bootstrap(host) })
       val nextFree = scala.collection.mutable.HashMap.empty[String, Long]
       it.map { req =>
         val host = hostOf(req)

@@ -46,6 +46,26 @@ class DaemonSpec extends SparkSuite {
     assert(next.count() === out.cache.count())
   }
 
+  test("ALL preflights failing crawls NOTHING: cache untouched, pure error report") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-daemon-allfail").toString
+    // seed a cache via a healthy run first
+    val healthy = Daemon.Options(out = s"$dir/out", cache = s"$dir/cache",
+      limit = 5, scale = 60, include = Seq("biz.ssu.ac.kr"))
+    Daemon.run(spark, healthy)
+    val cacheRows = spark.read.parquet(s"$dir/cache").count()
+    // every selected site fails preflight: an empty survivor set must NOT
+    // fall through to Config.include=Seq.empty (= crawl the whole fleet)
+    val res = Daemon.run(spark, healthy.copy(out = s"$dir/out2",
+      failSites = Seq("biz.ssu.ac.kr")))
+    assert(res.failedSites.keySet === Set("biz.ssu.ac.kr"))
+    assert(res.pipeline.topPosts.count() === 0)
+    assert(spark.read.parquet(s"$dir/cache").count() === cacheRows, "cache must be untouched")
+    assert(spark.read.json(s"$dir/out2/reports/error_report").count() === 1)
+    val md = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/out2/reports/SUMMARY.md"))
+    assert(md.contains("0 성공, **1 실패**"))
+  }
+
   test("calendar cache ADVANCES across runs (rename-aside swap, no _next leftover)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-daemon-cal").toString
     val opts = Daemon.Options(out = s"$dir/out", cache = s"$dir/cache",
