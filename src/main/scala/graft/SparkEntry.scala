@@ -261,6 +261,13 @@ object SparkEntry {
           3, 0.5, maxShingleFreq = 20L))
         .select(col("id").as("doc_id"), col("cluster"))),
 
+    // ---- the COMPOSED dedup pipeline: corpus -> pairs -> clusters ->
+    // keep one canonical doc per cluster (the one-call training-data form) ----
+    "q52_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+        3, 0.5, maxShingleFreq = 20L)
+        .select(col("doc_id"))),
+
     "q28_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)),
 
@@ -684,6 +691,28 @@ object SparkEntry {
         |reach AS (SELECT u, v FROM e
         |  UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
         |SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u""".stripMargin,
+
+    // kept corpus = every document except non-representative cluster members
+    "q52_dedup_corpus" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 0) + 1),
+        |  i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  AND s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20)
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter JOIN sz x ON a = x.doc_id
+        |  JOIN sz y ON b = y.doc_id WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+        |e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (SELECT u, v FROM e
+        |  UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |labels AS (SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
 
     "q29_ann_brute" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

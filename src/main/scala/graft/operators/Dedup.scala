@@ -233,6 +233,17 @@ object Dedup {
       clusters.filter(col("id") =!= col("cluster")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** The COMPOSED dedup pipeline, corpus in -> deduplicated corpus out:
+    * exact n-gram Jaccard pairs (df-cut bounded) -> transitive clusters ->
+    * one canonical document per cluster. Each stage is the scale-shaped
+    * operator above; this is the one-call form a training-data pipeline
+    * actually invokes. */
+  def dedupCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame =
+    keepClusterRepresentatives(df, idCol,
+      nearDupClusters(ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleFreq)))
+
   /**
    * 64-bit SimHash over word tokens (computed in [[graft.functions.Kernels]]
    * as a codegen'd static call). Near-dup pairs = hamming distance <= maxDist,
