@@ -77,8 +77,13 @@ object Daemon {
         case "--fail-sites"     => o = o.copy(failSites = args(i + 1).split(",").toSeq); i += 2
         case "--fail-fetch" => // site:wave:attempts[,site:wave:attempts...]
           o = o.copy(failFetch = args(i + 1).split(",").map { f =>
-            val Array(s, w, n) = f.split(":")
-            (s, w.toInt) -> n.toInt
+            f.split(":") match {
+              case Array(s, w, n) if s.nonEmpty &&
+                  w.forall(_.isDigit) && n.forall(_.isDigit) =>
+                (s, w.toInt) -> n.toInt
+              case _ => throw new IllegalArgumentException(
+                s"--fail-fetch expects site:wave:attempts, got '$f'")
+            }
           }.toMap); i += 2
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
@@ -186,8 +191,11 @@ object Daemon {
     //  - only the crawled sites' partitions are SCANNED (partition pruning
     //    on the isin filter — untouched sites contribute zero read or
     //    shuffle rows to the merge);
-    //  - the merge's full-outer shuffle is bounded by the crawl batch, not
-    //    the cache size;
+    //  - within the touched slice, only cache rows whose (site_id, id)
+    //    appears in the crawl batch enter the full-outer merge join (the
+    //    batch's key set rides as a BROADCAST semi/anti join — the cache
+    //    side needs no Exchange, and the shuffle is O(batch), not
+    //    O(touched-site history); DaemonSpec audits the shuffle volume);
     //  - only the crawled sites' partitions are REWRITTEN (dynamic
     //    partition overwrite below) — a bounded per-run batch never
     //    rewrites the full cache state.
@@ -196,11 +204,24 @@ object Daemon {
     val touched = liveSiteIds.filterNot(crawl.failedSites.keySet)
     val cacheTouched = cache.filter(col("site_id").isin(touched: _*))
     val cacheUntouched = cache.filter(!col("site_id").isin(touched: _*))
-    val merged = graft.operators.Merge.mergeEntries(cacheTouched, newPosts, opts.now)
-    // bounded slice; localCheckpoint both stages it once for the several
-    // consumers below AND breaks the cache-read lineage so the dynamic
-    // overwrite may write back to the same path it was read from
-    val touchedPosts = merged.posts.localCheckpoint()
+    val merged = graft.operators.Merge.mergeEntriesIncremental(cacheTouched, newPosts, opts.now)
+    // Canonical storage layout before the write-back: one exchange keyed by
+    // site_id with a (rank, id) sort inside each site. This (a) writes ONE
+    // file per site partition instead of one per (site × shuffle partition)
+    // — the next run's partition-pruned read scans a single file per site
+    // — and (b) makes the persisted bytes a pure function of the logical
+    // cache state, so an identical daemon cycle publishes an identical
+    // tree and the commit no-ops. The exchange moves only the touched
+    // slice, which the dynamic partition overwrite is about to rewrite to
+    // storage anyway; the MERGE itself no longer shuffles site history
+    // (broadcast key semi/anti above).
+    // localCheckpoint both stages it once for the several consumers below
+    // AND breaks the cache-read lineage so the dynamic overwrite may write
+    // back to the same path it was read from
+    val touchedPosts = merged.posts
+      .repartition(col("site_id"))
+      .sortWithinPartitions(col("site_id"), col("rank"), col("id"))
+      .localCheckpoint()
     // sinks cover the sites this run crawled (the reference daemon emits
     // outputs per crawled plugin, main.rs:192-243 — untouched sites keep
     // their previous outputs and are neither scanned nor rewritten)
@@ -220,10 +241,16 @@ object Daemon {
     // would dangle on the pre-overwrite file listing
     val events = merged.events.unionByName(statusEvents).localCheckpoint()
 
-    // sinks (cli main.rs:192-243 layout)
+    // sinks (cli main.rs:192-243 layout). DYNAMIC partition overwrite:
+    // this run's sinks cover only the crawled sites, and a reused out/ dir
+    // must keep the uncrawled sites' last-good files (the reference's
+    // `cp -rv out/* .` publish only ever adds/overwrites) — the default
+    // STATIC mode would truncate the whole sites/ and rss/ trees first
     graft.sinks.SiteJson.write(graft.sinks.SiteJson.perSite(top), s"${opts.out}/sites")
     graft.sinks.Rss.perSite(top).repartition(col("site_id"))
-      .write.mode("overwrite").partitionBy("site_id").text(s"${opts.out}/rss")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("site_id").text(s"${opts.out}/rss")
     graft.sinks.Report.write(events, s"${opts.out}/reports/content_report")
     allFailed.toSeq
       .map { case (site, e) => (site, e.getMessage) }

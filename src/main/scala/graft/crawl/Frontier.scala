@@ -215,11 +215,14 @@ object Crawl {
       schedule0 = None, lineage0 = None)
   }
 
-  /** Continue a crawl from an arbitrary state (used by snapshot resume). */
+  /** Continue a crawl from an arbitrary state (used by snapshot resume).
+    * `failures0` carries a resumed snapshot's recorded mid-crawl failures
+    * forward so the resumed run still reports (and keeps excluding) them. */
   def runFrom(
       spark: SparkSession, cfg: Config, frontier0: DataFrame, wave0: Int,
       seen0: DataFrame, posts0: DataFrame,
-      schedule0: Option[DataFrame], lineage0: Option[DataFrame]): Result = {
+      schedule0: Option[DataFrame], lineage0: Option[DataFrame],
+      failures0: Map[String, Throwable] = Map.empty): Result = {
     import spark.implicits._
 
     val robotsDf = broadcast(robots(spark))
@@ -259,6 +262,12 @@ object Crawl {
       lineage0.getOrElse(emptyLineage))
     def seenAll = seenParts.reduce(_ unionByName _)
     var seenCount = seenParts.head.count()
+    // incrementally-maintained seen sketch: each wave folds its fresh delta
+    // in (O(|delta|)) instead of re-aggregating the whole seen set
+    // (O(|seen|) per wave — a full-state scan per wave at 10^10 URLs)
+    val sketch = new SeenSet.IncrementalSketch(cfg.seenSketch,
+      initialCapacity = math.max(seenCount * 4, 1L << 20))
+    if (seenCount > 0) sketch.add(seenParts.head, seenCount, "url_hash")(seenAll)
     var wave = wave0
     // frontier size is carried between waves (the producer counted it) —
     // no extra action per wave just to test emptiness
@@ -267,6 +276,26 @@ object Crawl {
     require(!cfg.livePacing || cfg.faults.isEmpty,
       "livePacing and fault injection are separate test modes")
     val midCrawlFailures = scala.collection.mutable.LinkedHashMap.empty[String, Throwable]
+    midCrawlFailures ++= failures0
+    // A failed site contributes NO rows to persisted/returned posts — its
+    // earlier-wave fetches happened, but the reference's failed plugin
+    // yields an error, not partial output (mod.rs:38-93).
+    def excludeFailedSites(posts: DataFrame): DataFrame =
+      if (midCrawlFailures.isEmpty) posts
+      else posts.filter(!col("site_id").isin(midCrawlFailures.keys.toSeq: _*))
+    // The seen table carries only url_hash — recover the failed sites'
+    // hashes from the schedule (every seen hash has a schedule row) and
+    // anti-join them out, so a resume / the next run re-schedules them.
+    // Bounded by the failed sites' slice, and only runs on failure.
+    def excludeFailedSeen(seen: DataFrame,
+        schedParts: scala.collection.Seq[DataFrame]): DataFrame =
+      if (midCrawlFailures.isEmpty) seen
+      else {
+        val failedHashes = schedParts.reduce(_ unionByName _)
+          .filter(col("site_id").isin(midCrawlFailures.keys.toSeq: _*))
+          .select("url_hash").distinct()
+        seen.join(failedHashes, Seq("url_hash"), "left_anti")
+      }
     val fetchLogParts = scala.collection.mutable.ArrayBuffer(
       Seq.empty[(String, Long, Int)].toDF("host", "started_at_ms", "wave"))
     val debug = sys.env.get("SPARK_GRAFT_CRAWL_DEBUG").contains("1")
@@ -323,7 +352,8 @@ object Crawl {
       val scheduled =
         if (dedupStrategy == "fused") {
           val fresh0 = tick("sketch+filterNew(build)", wave)(
-            SeenSet.filterNew(keyed, seenAll, "url_hash", seenCount, cfg.seenSketch))
+            SeenSet.filterNewProbe(keyed, seenAll, "url_hash",
+              sketch.probe(col("url_hash"))))
           fresh0.select(col("url"), col("site_id"), col("kind"), col("page"), col("row"),
               col("depth"), col("crawl_delay_ms"), col("url_hash"), col("host_hash"))
             .as[WaveRow]
@@ -376,7 +406,8 @@ object Crawl {
               .select(col("url_hash") +: keyedCols.filter(_ != "url_hash")
                 .map(c => col(s"_r.$c").as(c)): _*)
           val fresh = tick("sketch+filterNew(build)", wave)(
-            SeenSet.filterNew(inWave, seenAll, "url_hash", seenCount, cfg.seenSketch))
+            SeenSet.filterNewProbe(inWave, seenAll, "url_hash",
+              sketch.probe(col("url_hash"))))
           val wHost = Window.partitionBy("host_hash")
             .orderBy(col("depth"), col("site_id"), col("page"), col("row"))
           fresh
@@ -541,17 +572,25 @@ object Crawl {
         if (midCrawlFailures.isEmpty) fetchInput
         else fetchInput.filter(!col("site_id").isin(midCrawlFailures.keys.toSeq: _*))
       seenParts += seenInput.select(col("url_hash"), col("wave").as("first_wave"))
-      seenCount += (if (midCrawlFailures.isEmpty) freshCount else seenInput.count())
+      val seenDelta = if (midCrawlFailures.isEmpty) freshCount else seenInput.count()
+      seenCount += seenDelta
+      sketch.add(seenInput, seenDelta, "url_hash")(seenAll)
       postParts += wavePosts
       lineageParts += waveLineage
 
       cfg.snapshotDir.foreach { dir =>
+        // failed sites are filtered OUT of the persisted posts/seen state
+        // (their earlier-wave contributions included — the 'failed plugin
+        // yields an error, not partial output' contract must survive a
+        // snapshot resume) and recorded in the manifest so a resumed run
+        // still reports them
         Snapshots.write(spark, dir, wave, Map(
-          "posts" -> postParts.reduce(_ unionByName _),
-          "seen" -> seenAll,
+          "posts" -> excludeFailedSites(postParts.reduce(_ unionByName _)),
+          "seen" -> excludeFailedSeen(seenAll, scheduleParts),
           "frontier" -> nextFrontier,
           "schedule" -> scheduleParts.reduce(_ unionByName _),
-          "lineage" -> lineageParts.reduce(_ unionByName _)), cfg)
+          "lineage" -> lineageParts.reduce(_ unionByName _)), cfg,
+          failures = midCrawlFailures.toMap.view.mapValues(_.getMessage).toMap)
       }
 
       frontier = nextFrontier
@@ -562,13 +601,10 @@ object Crawl {
     // run (the reference's failed plugin yields an error, not partial
     // output — mod.rs:38-93); its schedule/lineage rows remain as the
     // attempt record the error report cites
-    val allPosts = postParts.reduce(_ unionByName _)
-    val livePosts =
-      if (midCrawlFailures.isEmpty) allPosts
-      else allPosts.filter(!col("site_id").isin(midCrawlFailures.keys.toSeq: _*))
+    val livePosts = excludeFailedSites(postParts.reduce(_ unionByName _))
     Result(
       livePosts,
-      seenAll,
+      excludeFailedSeen(seenAll, scheduleParts.toSeq),
       scheduleParts.reduce(_ unionByName _),
       lineageParts.reduce(_ unionByName _),
       ssoBootstraps,

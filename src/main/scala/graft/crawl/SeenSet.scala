@@ -66,8 +66,87 @@ object SeenSet {
       case _ =>
         mightContain(buildBloom(seen, hashCol, seenCount), col(hashCol))
     }
-    val maybe = wave.filter(probe)
-      .join(seen.select(hashCol), Seq(hashCol), "left_anti")
-    wave.filter(!probe).unionByName(maybe)
+    filterNewProbe(wave, seen, hashCol, Some(probe))
+  }
+
+  /** [[filterNew]] with an externally-maintained probe column (an
+    * [[IncrementalSketch]]); `None` means "seen set empty — all new". */
+  def filterNewProbe(wave: DataFrame, seen: DataFrame, hashCol: String,
+      probe: Option[Column]): DataFrame = probe match {
+    case None => wave
+    case Some(p) =>
+      val maybe = wave.filter(p)
+        .join(seen.select(hashCol), Seq(hashCol), "left_anti")
+      wave.filter(!p).unionByName(maybe)
+  }
+
+  /**
+   * Incrementally-maintained seen sketch. The naive protocol re-aggregates
+   * the WHOLE seen set into a fresh sketch every wave — O(D·|seen|) sketch
+   * work over a D-wave crawl, a full-state scan per wave at 10^10 URLs.
+   * Here each wave contributes a sketch of its (small) fresh delta only,
+   * built with a FIXED capacity geometry so the running filter and the
+   * delta are structurally compatible and union-merge driver-side
+   * (Bloom: bit-or; cuckoo: slot re-insert). When the item count outgrows
+   * the capacity (Bloom fpp degrades; cuckoo load makes kicks fail) the
+   * sketch is REBUILT once from the full seen set at 4× capacity —
+   * amortized O(|seen|) total across the crawl instead of per wave.
+   *
+   * The sketch is advisory only (false positives fall through to the exact
+   * anti-join), so the crawl's output is bit-identical to the rebuild-
+   * per-wave protocol; a cuckoo merge that reports fingerprint loss (a
+   * would-be false NEGATIVE) triggers an immediate rebuild.
+   */
+  final class IncrementalSketch(kind: String, initialCapacity: Long,
+      fpp: Double = 0.01) {
+    private var capacity = math.max(initialCapacity, 1L << 16)
+    private var bytes: Option[Array[Byte]] = None
+    private var items = 0L
+
+    /** Membership-probe column against the current sketch; None = empty. */
+    def probe(hash: Column): Option[Column] = bytes.map { b =>
+      if (kind == "cuckoo")
+        graft.functions.CuckooFunctions.cuckoo_might_contain(lit(b), hash)
+      else mightContain(b, hash)
+    }
+
+    private def build(df: DataFrame, hashCol: String): Array[Byte] =
+      if (kind == "cuckoo") buildCuckoo(df, hashCol, capacity)
+      else buildBloom(df, hashCol, capacity, fpp)
+
+    private def mergeBytes(a: Array[Byte], b: Array[Byte]): Option[Array[Byte]] =
+      if (kind == "cuckoo") {
+        val fa = graft.functions.CuckooFilter.deserialize(a)
+        val fb = graft.functions.CuckooFilter.deserialize(b)
+        if (fa.mergeLossless(fb)) Some(fa.serialize()) else None // loss -> rebuild
+      } else {
+        val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+        val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+        fa.mergeInPlace(fb)
+        val bos = new java.io.ByteArrayOutputStream()
+        fa.writeTo(bos)
+        Some(bos.toByteArray)
+      }
+
+    /** Fold a wave's fresh rows into the sketch. `seenAll` (the exact
+      * table) is only evaluated on capacity overflow / lossy merge. */
+    def add(delta: DataFrame, deltaCount: Long, hashCol: String)(
+        seenAll: => DataFrame): Unit = {
+      if (deltaCount <= 0L) return
+      items += deltaCount
+      // cuckoo kicks start failing near full load — rebuild at half
+      // capacity so merges stay in the reliably-lossless regime
+      val limit = if (kind == "cuckoo") capacity / 2 else capacity
+      if (items > limit) {
+        capacity = math.max(items * 4, capacity * 4)
+        bytes = Some(build(seenAll, hashCol))
+      } else {
+        val d = build(delta, hashCol)
+        bytes = bytes.fold(Option(d))(mergeBytes(_, d)) match {
+          case some @ Some(_) => some
+          case None           => Some(build(seenAll, hashCol)) // lossy cuckoo merge
+        }
+      }
+    }
   }
 }

@@ -18,18 +18,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Snapshots {
 
   def write(spark: SparkSession, dir: String, wave: Int,
-      tables: Map[String, DataFrame], cfg: Crawl.Config): Unit = {
+      tables: Map[String, DataFrame], cfg: Crawl.Config,
+      failures: Map[String, String] = Map.empty): Unit = {
     val vdir = Paths.get(dir, "snapshots", s"v$wave")
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(vdir.resolve(name).toString)
     }
-    val counts = tables.map { case (n, df) => s""""$n": ${df.count()}""" }.mkString(", ")
-    val manifest =
-      s"""{"wave": $wave, "scale": ${cfg.scale}, "limit_per_site": ${cfg.limitPerSite},
-         | "rev": ${cfg.rev}, "num_salts": ${cfg.numSalts},
-         | "probe_pagination": ${cfg.probePagination}, "row_counts": {$counts}}""".stripMargin
+    // jackson-rendered (site messages are free text — hand-quoting would
+    // break the manifest on the first embedded quote)
+    val node = graft.sinks.SiteJson.mapper.createObjectNode()
+    node.put("wave", wave)
+    node.put("scale", cfg.scale)
+    node.put("limit_per_site", cfg.limitPerSite)
+    node.put("rev", cfg.rev)
+    node.put("num_salts", cfg.numSalts)
+    node.put("probe_pagination", cfg.probePagination)
+    val counts = node.putObject("row_counts")
+    tables.foreach { case (n, df) => counts.put(n, df.count()) }
+    // mid-crawl retry-exhausted sites: their state rows are already
+    // filtered out of posts/seen above; the record here lets a RESUMED run
+    // keep reporting (and excluding) them
+    val fails = node.putObject("failed_sites")
+    failures.toSeq.sortBy(_._1).foreach { case (s, m) => fails.put(s, m) }
     Files.createDirectories(vdir)
-    Files.writeString(vdir.resolve("manifest.json"), manifest)
+    Files.writeString(vdir.resolve("manifest.json"), node.toPrettyString)
     // atomic CURRENT pointer swap
     val tmp = Paths.get(dir, "snapshots", s".CURRENT.tmp$wave")
     Files.writeString(tmp, s"v$wave")
@@ -55,12 +67,25 @@ object Snapshots {
   def resume(spark: SparkSession, dir: String, cfg: Crawl.Config): Crawl.Result = {
     val v = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"no CURRENT snapshot under $dir"))
+    val manifest = Paths.get(dir, "snapshots", s"v$v", "manifest.json")
+    val failures0: Map[String, Throwable] =
+      if (!Files.exists(manifest)) Map.empty
+      else {
+        val node = graft.sinks.SiteJson.mapper.readTree(Files.readString(manifest))
+        Option(node.get("failed_sites")).toSeq.flatMap { f =>
+          val it = f.fields()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+            .map(e => e.getKey -> (new RuntimeException(e.getValue.asText()): Throwable))
+            .toSeq
+        }.toMap
+      }
     Crawl.runFrom(spark, cfg,
       frontier0 = readTable(spark, dir, v, "frontier"),
       wave0 = v + 1,
       seen0 = readTable(spark, dir, v, "seen"),
       posts0 = readTable(spark, dir, v, "posts"),
       schedule0 = Some(readTable(spark, dir, v, "schedule")),
-      lineage0 = Some(readTable(spark, dir, v, "lineage")))
+      lineage0 = Some(readTable(spark, dir, v, "lineage")),
+      failures0 = failures0)
   }
 }

@@ -104,21 +104,27 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
     slotRemove(i1, fp) || slotRemove(altBucket(i1, fp), fp)
   }
 
-  /** Union-merge: re-insert every occupied slot of `other`. */
-  def mergeInPlace(other: CuckooFilter): CuckooFilter = {
+  /** Union-merge: re-insert every occupied slot of `other`. Returns false
+    * when any fingerprint could not be re-inserted (kicks exhausted near
+    * full load) — a silent drop would be a FALSE NEGATIVE for the seen set,
+    * so callers must rebuild from the exact table when this reports loss. */
+  def mergeLossless(other: CuckooFilter): Boolean = {
     require(other.numBuckets == numBuckets, "cuckoo filters must be same-sized to merge")
+    var ok = true
     var b = 0
     while (b < other.numBuckets) {
       var s = 0
       while (s < SlotsPerBucket) {
         val fp = other.table(b * SlotsPerBucket + s)
-        if (fp != 0) insertFp(b, fp)
+        if (fp != 0) ok &= insertFp(b, fp)
         s += 1
       }
       b += 1
     }
-    this
+    ok
   }
+
+  def mergeInPlace(other: CuckooFilter): CuckooFilter = { mergeLossless(other); this }
 
   def serialize(): Array[Byte] = {
     val buf = ByteBuffer.allocate(4 + table.length * 2)

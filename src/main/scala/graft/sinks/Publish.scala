@@ -29,7 +29,11 @@ object Publish {
       tree: String,
       message: String,
       files: Long,
-      created: Boolean)
+      created: Boolean,
+      // full path -> digest manifest of the committed tree (read back from
+      // the commit record so the next publish can carry forward files it
+      // did not re-emit)
+      manifest: Map[String, String] = Map.empty)
 
   /**
    * Exact layout of the reference's markdown step
@@ -129,10 +133,15 @@ object Publish {
       val id = java.nio.file.Files.readString(head).trim
       val node = SiteJson.mapper.readTree(
         java.nio.file.Files.readString(repoDir.resolve(s".graft/commits/$id.json")))
+      val manifest = Option(node.get("manifest")).map { mn =>
+        val it = mn.fields()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty[String, String])
       Some(Commit(id,
         Option(node.get("parent")).filterNot(_.isNull).map(_.asText()),
         node.get("tree").asText(), node.get("message").asText(),
-        node.get("files").asLong(), created = false))
+        node.get("files").asLong(), created = false, manifest = manifest))
     }
   }
 
@@ -152,11 +161,30 @@ object Publish {
 
     def excluded(rel: String): Boolean =
       exclude.exists(e => rel == e || rel.startsWith(e + "/"))
-    val files = srcs.flatMap { case (prefix, dir) => manifest(spark, prefix, dir) }
+    def parentOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    // This run's emitted files. The publish is ADDITIVE like the
+    // reference's `cp -rv out/* . && git add .` (daemon.yml:127-143): a
+    // site absent from this run (preflight failure, --include subset,
+    // retry exhaustion) KEEPS its last-published files — they are carried
+    // forward from HEAD's manifest into this commit's tree. Staleness is
+    // scoped to directories fully re-emitted this run: a prior part file
+    // that vanished from a re-emitted site partition is dropped; nothing
+    // outside the emitted directories is ever touched.
+    val incoming = srcs.flatMap { case (prefix, dir) => manifest(spark, prefix, dir) }
       .filterNot { case (p, _) => excluded(p) }
       .sortBy(_._1)
-    val tree = sha(files.map { case (p, h) => s"$p $h\n" }: _*)
+    val incomingPaths = incoming.map(_._1).toSet
+    val emittedDirs = incoming.map { case (p, _) => parentOf(p) }.toSet
     val head = readHead(repo)
+    val carried = head.map(_.manifest).getOrElse(Map.empty)
+      .filterNot { case (p, _) =>
+        incomingPaths(p) || emittedDirs(parentOf(p)) || excluded(p) }
+      .toSeq
+    val files = (carried ++ incoming).sortBy(_._1)
+    val tree = sha(files.map { case (p, h) => s"$p $h\n" }: _*)
     if (head.exists(_.tree == tree))
       return head.get // "no changes to commit" (daemon.yml:143)
 
@@ -190,14 +218,27 @@ object Publish {
           } finally walk.close()
       }
     }
-    // the published tree fully owns the repo (the reference repo is exactly
-    // out/* + .cache/): drop any tracked file that vanished from the tree,
-    // never touching the commit metadata under .graft
-    val keep = files.map { case (p, _) => repo.resolve(p) }.toSet
+    // Scoped sweep: ONLY inside directories this run fully re-emitted, drop
+    // files that vanished from the emitted set (e.g. a stale part file from
+    // a previous partitioning). Hidden entries (.git internals, dotfiles —
+    // `git add .` never stages into .git) are protected unless the hidden
+    // name is itself a published prefix (the reference publishes `.cache/`).
+    val keep = files.map { case (p, _) => repo.resolve(p).normalize }.toSet
+    val srcPrefixes = srcs.map(_._1).filter(_.nonEmpty)
+      .flatMap(_.split('/').headOption).toSet
+    def protectedHidden(rel: java.nio.file.Path): Boolean = {
+      val names = (0 until rel.getNameCount).map(rel.getName(_).toString)
+      names.exists(n => n.startsWith(".") && !srcPrefixes.contains(n))
+    }
     val sweep = java.nio.file.Files.walk(repo)
     try {
       sweep.filter(java.nio.file.Files.isRegularFile(_))
-        .filter(p => !p.startsWith(repo.resolve(".graft")) && !keep.contains(p))
+        .filter { p =>
+          val rel = repo.relativize(p)
+          !protectedHidden(rel) &&
+            emittedDirs.contains(parentOf(rel.toString.replace('\\', '/'))) &&
+            !keep.contains(p.normalize)
+        }
         .forEach(p => { java.nio.file.Files.delete(p); () })
     } finally sweep.close()
 
@@ -221,6 +262,7 @@ object Publish {
     java.nio.file.Files.writeString(
       repo.resolve(s".graft/commits/$id.json"), SiteJson.pretty(node))
     java.nio.file.Files.writeString(repo.resolve(".graft/HEAD"), id)
-    Commit(id, parent, tree, message, files.size.toLong, created = true)
+    Commit(id, parent, tree, message, files.size.toLong, created = true,
+      manifest = files.toMap)
   }
 }

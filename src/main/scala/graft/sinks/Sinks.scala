@@ -159,7 +159,7 @@ object Ics {
 
 object SiteJson {
 
-  private[sinks] val mapper = {
+  private[graft] val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m
   }
@@ -201,7 +201,7 @@ object SiteJson {
    * `"key": value`, one element per line, `[]`/`{}` for empties. Scalars
    * render in Jackson's compact form (same escaping rules).
    */
-  private[sinks] def pretty(n: com.fasterxml.jackson.databind.JsonNode,
+  private[graft] def pretty(n: com.fasterxml.jackson.databind.JsonNode,
       ind: String = ""): String = {
     import scala.jdk.CollectionConverters._
     val childInd = ind + "  "
@@ -246,10 +246,15 @@ object SiteJson {
       .toDF("site_id", "site_json")
   }
 
-  /** Write one file per site (the reference's {out}/{site}/data.json layout). */
+  /** Write one file per site (the reference's {out}/{site}/data.json
+    * layout). Dynamic partition overwrite: a run that covers a subset of
+    * sites replaces only those sites' files — uncrawled sites keep their
+    * last-good output (the reference publish never deletes). */
   def write(perSiteJson: DataFrame, outDir: String): Unit =
     perSiteJson.repartition(col("site_id"))
-      .write.mode("overwrite").partitionBy("site_id").json(outDir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("site_id").json(outDir)
 }
 
 /** Crawl report (K5): JSON-lines event stream + the jq-style aggregation. */

@@ -154,6 +154,39 @@ class CrawlSpec extends SparkSuite {
     }
   }
 
+  test("multi-wave failure: snapshot excludes the failed site's EARLIER-wave posts and seen hashes; resume keeps reporting it") {
+    // sequential page walk (probePagination = false) so biz's posts span
+    // two waves: wave1 = page-1 posts, wave2 = page-2 posts. Failing wave 2
+    // exercises the retroactive exclusion — wave-1 state was already
+    // appended when the failure hits.
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-fail").toString
+    val sites = Seq("biz.ssu.ac.kr", "bioinfo.ssu.ac.kr")
+    val small = Crawl.Config(scale = 60, limitPerSite = 20, include = sites,
+      probePagination = false, snapshotDir = Some(dir),
+      faults = Map(("biz.ssu.ac.kr", 2) -> 3))
+    val dead = Crawl.run(spark, small)
+    assert(dead.failedSites.keySet === Set("biz.ssu.ac.kr"))
+    // the returned posts AND seen set exclude biz's earlier-wave state
+    assert(dead.posts.filter(col("site_id") === "biz.ssu.ac.kr").count() === 0)
+    val bizHashes = dead.schedule.filter(col("site_id") === "biz.ssu.ac.kr")
+      .select("url_hash").distinct()
+    assert(dead.seen.join(bizHashes, Seq("url_hash"), "left_semi").count() === 0,
+      "failed site's url hashes must not be 'seen' — the next run re-schedules them")
+    // the persisted snapshot is equally clean
+    val v = Snapshots.currentVersion(dir).get
+    val snapPosts = spark.read.parquet(s"$dir/snapshots/v$v/posts")
+    val snapSeen = spark.read.parquet(s"$dir/snapshots/v$v/seen")
+    assert(snapPosts.filter(col("site_id") === "biz.ssu.ac.kr").count() === 0)
+    assert(snapSeen.join(bizHashes, Seq("url_hash"), "left_semi").count() === 0)
+    // manifest records the failure; a resume carries it forward
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/snapshots/v$v/manifest.json"))
+    assert(manifest.contains("biz.ssu.ac.kr"))
+    val resumed = Snapshots.resume(spark, dir, small.copy(faults = Map.empty))
+    assert(resumed.failedSites.keySet === Set("biz.ssu.ac.kr"))
+    assert(resumed.posts.filter(col("site_id") === "biz.ssu.ac.kr").count() === 0)
+  }
+
   test("snapshot kill-and-resume reproduces the uninterrupted crawl exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
     // "killed" run: stops after wave 0, snapshot v0 persisted

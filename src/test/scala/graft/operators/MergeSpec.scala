@@ -105,6 +105,46 @@ class MergeSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("incremental merge shuffles O(batch): cache history rides a broadcast semi/anti, never an Exchange") {
+    // daemon-shaped input: a parquet-persisted cache (file scan, like the
+    // product path) with 20k rows of history, a 2-row batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-shuffle")
+    val n = 20000
+    val cache = Merge.mergeEntries(
+      (0 until n).map(i => post(s"c$i", -n.toLong + i, s"T$i", s"C$i")).toDF(),
+      spark.emptyDataset[Post].toDF(), now).posts
+    cache.write.mode("overwrite").parquet(dir.toString)
+    val cacheDf = spark.read.parquet(dir.toString)
+    val batch = Seq(
+      post("c10", 1, "T10-upd", "C10-upd"),
+      post("zz", 2, "TZ", "CZ")).toDF()
+
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = Merge.mergeEntriesIncremental(cacheDf, batch, now)
+      assert(r.posts.count() === n + 1)
+      // the listener bus is async — wait for the counter to go quiet
+      var last = -1L; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val v = records.get
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
+      val plan = r.posts.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), "batch key set must broadcast")
+      // O(batch): window/aggregate shuffles over the 3 touched + 2 batch
+      // rows plus per-partition aggregate stubs — NOT the 20k-row history
+      assert(records.get < n / 10,
+        s"merge shuffled ${records.get} records for a $n-row cache and a 2-row batch")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("topKPerSite returns newest-first top-K (mod.rs:142-147)") {
     val posts = (0 until 10).map(i => post(s"$i", i, s"T$i", s"C$i"))
     val ranked = Merge.mergeEntries(

@@ -58,15 +58,17 @@ class PublishSpec extends SparkSuite {
     val c2 = Publish.publish(spark, repo.toString, Seq("" -> src.toString), now)
     assert(!c2.created && c2.id == c1.id)
 
-    // changed + removed file -> new commit with parent chain; the vanished
-    // file is swept from the working tree, .graft metadata untouched
+    // changed file -> new commit with parent chain. calendar.ics vanished
+    // from THIS run's out/, but publish is additive (`cp -rv` + `git add .`
+    // never deletes, daemon.yml:127-143): the last-published copy is
+    // carried forward into the new tree, .graft metadata untouched
     Files.writeString(src.resolve("sites/a/data.json"), """{"x":2}""")
     Files.delete(src.resolve("calendar.ics"))
     val c3 = Publish.publish(spark, repo.toString, Seq("" -> src.toString),
       Timestamp.valueOf("2026-01-16 03:00:00"))
-    assert(c3.created && c3.parent.contains(c1.id) && c3.files == 1)
+    assert(c3.created && c3.parent.contains(c1.id) && c3.files == 2)
     assert(Files.readString(repo.resolve("sites/a/data.json")) == """{"x":2}""")
-    assert(!Files.exists(repo.resolve("calendar.ics")))
+    assert(Files.readString(repo.resolve("calendar.ics")) == "BEGIN:VCALENDAR")
     assert(Files.exists(repo.resolve(s".graft/commits/${c1.id}.json")))
     assert(Files.readString(repo.resolve(".graft/HEAD")).trim == c3.id)
 
@@ -76,7 +78,48 @@ class PublishSpec extends SparkSuite {
     val c4 = Publish.publish(spark, repo.toString,
       Seq("" -> src.toString, ".cache" -> cache.toString),
       Timestamp.valueOf("2026-01-17 03:00:00"))
-    assert(c4.created && c4.files == 2)
+    assert(c4.created && c4.files == 3) // data.json + carried calendar.ics + cache part
     assert(Files.readString(repo.resolve(".cache/part-0.parquet")) == "bytes")
+  }
+
+  test("publish sweep is scoped: stale files only in re-emitted dirs; absent sites and .git survive") {
+    val src = Files.createTempDirectory("graft-pub2-src")
+    val repo = Files.createTempDirectory("graft-pub2-repo")
+    // a git-backed data repo: internals must never be touched (`git add .`
+    // refuses to stage into .git)
+    Files.createDirectories(repo.resolve(".git/objects"))
+    Files.writeString(repo.resolve(".git/config"), "[core]")
+    Files.writeString(repo.resolve(".git/objects/abc"), "blob")
+    Files.createDirectories(src.resolve("sites/a"))
+    Files.createDirectories(src.resolve("sites/b"))
+    Files.writeString(src.resolve("sites/a/part-00000.json"), "a0")
+    Files.writeString(src.resolve("sites/a/part-00001.json"), "a1")
+    Files.writeString(src.resolve("sites/b/data.json"), "b")
+    val t1 = Timestamp.valueOf("2026-01-15 03:00:00")
+    val c1 = Publish.publish(spark, repo.toString, Seq("" -> src.toString), t1)
+    assert(c1.created && c1.files == 3)
+
+    // second run: site a re-emitted with FEWER part files (stale part-00001
+    // must be swept), site b absent entirely (preflight failure / --include
+    // subset — its published file must survive and stay in the tree)
+    val src2 = Files.createTempDirectory("graft-pub2-src2")
+    Files.createDirectories(src2.resolve("sites/a"))
+    Files.writeString(src2.resolve("sites/a/part-00000.json"), "a0v2")
+    val c2 = Publish.publish(spark, repo.toString, Seq("" -> src2.toString),
+      Timestamp.valueOf("2026-01-16 03:00:00"))
+    assert(c2.created && c2.parent.contains(c1.id))
+    assert(Files.readString(repo.resolve("sites/a/part-00000.json")) == "a0v2")
+    assert(!Files.exists(repo.resolve("sites/a/part-00001.json"))) // stale, re-emitted dir
+    assert(Files.readString(repo.resolve("sites/b/data.json")) == "b") // absent site kept
+    assert(c2.files == 2) // a/part-00000 + carried b/data.json
+    assert(c2.manifest.contains("sites/b/data.json"))
+    // .git internals untouched
+    assert(Files.readString(repo.resolve(".git/config")) == "[core]")
+    assert(Files.exists(repo.resolve(".git/objects/abc")))
+
+    // identical re-run of the subset -> no-op (tree includes carried files)
+    val c3 = Publish.publish(spark, repo.toString, Seq("" -> src2.toString),
+      Timestamp.valueOf("2026-01-17 03:00:00"))
+    assert(!c3.created && c3.id == c2.id)
   }
 }
