@@ -113,14 +113,17 @@ object Bench {
       }
 
     // ---- phase 2: frontier scaling N vs 4N ----
-    // FIXED-ROUNDS interleaved protocol: the sandbox VM is noisy (host
+    // QUIET-GATED pair protocol: the sandbox VM is noisy (host
     // oversubscription + GC jitter; run-to-run spread up to 1.4x), so one
     // (low, high) pair per round is timed back-to-back, preceded by a
     // same-moment hardware calibration burn (pure-ALU + memory-bandwidth
-    // stream). ALL rounds always run (no early stop — an adaptive
-    // stop-on-success rule would bias the sampling toward favorable
-    // numbers); every run is reported, and the artifact carries several
-    // pre-declared estimators side by side:
+    // stream) that doubles as the noise probe. A pair is SKIPPED (napped
+    // past, within a per-pair budget) while the probe reads outside the
+    // two-sided quiet band — the skip decision never sees the crawl's own
+    // timing, so there is no favorable-stopping bias; rounds continue
+    // until enough quiet-probed pairs ran. Every pair that runs is
+    // reported, and the artifact carries several pre-declared estimators
+    // side by side:
     //  - scaling_efficiency       (best-pair: best low vs best high)
     //  - scaling_efficiency_median (median-pair)
     //  - pair_eff[i]              (per-round paired ratio)
@@ -210,31 +213,40 @@ object Bench {
       println(f"""{"metric":"total","value":${results.map(_._2).sum}%.3f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
       return
     }
-    // Quiet-window seeking: the calibration burn doubles as a noise probe.
-    // If the same-moment memory-bandwidth ceiling is below the quiet
-    // threshold the host cannot EXPRESS scaling right now (the crawl's
-    // ratio would measure the neighbors, not the engine) — nap briefly and
-    // reprobe, within a bounded budget shared across rounds. Every pair
-    // that runs is still measured and reported; waiting only repositions
-    // WHEN a pair runs, never which results count.
-    var quietWaitLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "240").toInt
+    // SKIP-AND-RETRY quiet-pair protocol: the calibration burn doubles as a
+    // noise probe, and a pair only RUNS once its pre-probe reads inside the
+    // two-sided quiet band (or the pair's wait budget is exhausted — then
+    // it runs anyway and is reported as non-quiet). The skip decision uses
+    // ONLY the pre-probe, never the crawl's own result, so this is
+    // noise-gated sampling, not favorable stopping: every pair that runs
+    // is reported, and rounds continue until >= `quietTarget` pairs ran
+    // under a quiet probe (or `maxRounds` pairs ran in total). This makes
+    // the N->4N gate decidable from ONE artifact on a host where three of
+    // five blind-scheduled rounds used to land in neighbor-noise windows.
+    val quietTarget = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_PAIRS", "3").toInt
+    val quietWaitPerPair = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "90").toInt
+    val pairQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     var round = 0
-    while (round < maxRounds) {
+    while (round < maxRounds &&
+      (round < math.min(2, maxRounds) || pairQuiet.count(identity) < quietTarget)) {
+      var probeQuiet = true
       if (pin) {
         var bl = burnRun(cpusLow)
         var bh = burnRun(cpusHigh)
+        var waitLeft = quietWaitPerPair // per PAIR, not shared across rounds
         // the probe naps on BOTH noise directions (see quietPairs below)
-        while (quietWaitLeft > 0 &&
+        while (waitLeft > 0 &&
           (bl._2 / bh._2 < quietThreshold || bl._2 / bh._2 > 1.0 / quietThreshold)) {
-          val nap = math.min(30, quietWaitLeft)
+          val nap = math.min(30, waitLeft)
           System.err.println(f"[bench] host noisy (membw ${bl._2 / bh._2}%.2f outside " +
             f"[$quietThreshold%.2f, ${1.0 / quietThreshold}%.2f]), napping ${nap}s " +
-            s"(${quietWaitLeft}s budget left)")
+            s"(${waitLeft}s pair budget left)")
           Thread.sleep(nap * 1000L)
-          quietWaitLeft -= nap
+          waitLeft -= nap
           bl = burnRun(cpusLow)
           bh = burnRun(cpusHigh)
         }
+        probeQuiet = bl._2 / bh._2 >= quietThreshold && bl._2 / bh._2 <= 1.0 / quietThreshold
         burnsLow += bl; burnsHigh += bh
       }
       val rl = timedRun(cpusLow, warm = round == 0)
@@ -242,8 +254,10 @@ object Bench {
       runsLow += rl
       val rh = timedRun(cpusHigh, warm = round == 0)
       System.err.println(f"[bench] local[$cpusHigh] round${round + 1}: ${rh._1}%.2fs" +
-        f" (pair efficiency: ${(rl._1 / rh._1) / (cpusHigh.toDouble / cpusLow)}%.3f)")
+        f" (pair efficiency: ${(rl._1 / rh._1) / (cpusHigh.toDouble / cpusLow)}%.3f," +
+        s" quiet probe: $probeQuiet)")
       runsHigh += rh
+      pairQuiet += probeQuiet
       round += 1
     }
     require((runsLow ++ runsHigh).map(_._2).distinct.size == 1,
@@ -301,8 +315,10 @@ object Bench {
             s""""membw_high_sec":${burnsHigh.map(b => f"${b._2}%.2f").mkString("[", ",", "]")},"""
          else "") +
         s""""identical_output":$identical,""" +
-        s""""protocol":"fixed_rounds_interleaved",""" +
+        s""""protocol":"quiet_gated_pairs",""" +
         s""""rounds":${runsLow.size},""" +
+        s""""quiet_target":$quietTarget,""" +
+        s""""pair_quiet":${pairQuiet.map(_.toString).mkString("[", ",", "]")},""" +
         s""""pair_eff":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
         (if (pairMembw.nonEmpty)
           s""""pair_membw_eff":${pairMembw.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
@@ -315,7 +331,14 @@ object Bench {
         s""""runs_low_sec":${runsLowAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
         s""""runs_high_sec":${runsHighAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
         f""""seen_rows":${fpHigh._4}}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":$frontier}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":$frontier}"""
+    println(json)
+    // the artifact also lands whole in its own file: sbt log tails get
+    // truncated mid-JSON (the round-3 artifact lost its head), a file read
+    // parses from byte 0
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write: ${e.getMessage}") }
   }
 }

@@ -157,6 +157,56 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
   }
 
+  /**
+   * All `tables` random-hyperplane LSH signatures of a vector in ONE pass:
+   * output(t) packs `bits` sign bits of dot products against pseudo-random
+   * planes. VALUE-IDENTICAL to the column construction it replaces
+   * (`aggregate(zip_with(vec, sequence(...), x*comp))` per bit per table,
+   * where comp = xxhash64(plane:int, dim:int, seed:long) / Long.MaxValue
+   * and seed = t*7919+13): the hash chain (seed 42, int/int/long lanes)
+   * and the left-to-right accumulation order are reproduced exactly, so
+   * buckets match bit-for-bit. Cost per row: d*bits*(tables+1) ALU hashes
+   * in a tight loop — no per-bit array allocation, no interpreted HOF
+   * folds (tables*bits of them, each re-walking the vector).
+   */
+  def hyperplaneSigs(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      bits: Int, tables: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val d = vec.numElements()
+    val dots = new Array[Double](tables * bits)
+    var i = 0
+    while (i < d) {
+      val x = vec.getDouble(i)
+      var p = 0
+      while (p < bits) {
+        // xxhash64(lit(plane), i, lit(seed)) = chained XXH64 with seed 42:
+        // int lane (plane), int lane (dim), long lane (table seed)
+        val h2 = XXH64.hashInt(i, XXH64.hashInt(p, 42L))
+        var t = 0
+        while (t < tables) {
+          val comp = XXH64.hashLong(t * 7919L + 13L, h2).toDouble / Long.MaxValue.toDouble
+          dots(t * bits + p) += x * comp
+          t += 1
+        }
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        if (dots(t * bits + p) >= 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — deterministic token hash for simhash. */
   private def fnv64(t: String): Long = {
     var h = -3750763034362895579L // FNV offset basis
@@ -294,6 +344,20 @@ object GraftFunctions {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType)))
 
+  /** All hyperplane-LSH table signatures (array<bigint>, one packed-bits
+    * signature per table) of an array<double> vector — one-pass codegen'd
+    * kernel, value-identical to the per-bit HOF construction. */
+  def hyperplane_sigs(vec: Column, bits: Int, tables: Int): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      "hyperplaneSigs",
+      Seq(ColumnBridge.expression(vec),
+        ColumnBridge.expression(lit(bits)), ColumnBridge.expression(lit(tables))),
+      inputTypes = Seq(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType)))
+
   /** Cosine similarity over two array<double> columns (codegen'd static
     * kernel; callers pre-cast float embeddings ONCE, not per pair). */
   def cosine_sim(a: Column, b: Column): Column = ColumnBridge.column(
@@ -350,6 +414,15 @@ object GraftFunctions {
         "minhashBands", args.take(3),
         inputTypes = Seq(
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType)),
+      "built-in")
+    registry.createOrReplaceTempFunction("hyperplane_sigs",
+      (args: Seq[Expression]) => StaticInvoke(K,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        "hyperplaneSigs", args.take(3),
+        inputTypes = Seq(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType)),
       "built-in")
     registry.createOrReplaceTempFunction("cosine_sim",

@@ -30,11 +30,12 @@ object Multimodal {
       n_bytes: Int, checksum: Long, features: Array[Float])
 
   /**
-   * REAL pure-JVM codecs for the container-friendly formats: BMP (image)
-   * and RIFF/WAVE PCM (audio) — full header encode/parse with no codec
-   * library. The engine's image/audio metadata path runs on these for
-   * real; only compressed formats (JPEG/MP4...) remain behind the labeled
-   * [[StubCodec]].
+   * REAL pure-JVM format codecs: BMP and JPEG-marker-walk (image),
+   * RIFF/WAVE PCM (audio), and ISO-BMFF/MP4 box walk (video) — full
+   * header/container encode+parse with no codec library. The engine's
+   * metadata path runs on these for real; only ENTROPY decoding (pixel /
+   * sample / frame reconstruction from compressed payloads) remains
+   * behind the labeled [[StubCodec]].
    */
   object Codecs {
 
@@ -48,6 +49,9 @@ object Multimodal {
         ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
     private def rdLe16(b: Array[Byte], off: Int): Int =
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+    // (image: BMP + the JPEG marker walk; audio: RIFF/WAVE; video:
+    // ISO-BMFF box walk — all pure byte layout, no codec library)
 
     /** A valid 24-bit uncompressed BMP (BITMAPINFOHEADER): 54-byte header +
       * 4-byte-aligned pixel rows. Pixels are a deterministic function of
@@ -90,6 +94,153 @@ object Multimodal {
       out.toByteArray
     }
 
+    private def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def rdBe32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+        ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+    private def rdBe16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+    /** A structurally-valid ISO-BMFF MP4: ftyp + moov{mvhd, trak{tkhd}} +
+      * mdat. mvhd carries (timescale=1000, duration), tkhd the 16.16
+      * fixed-point display size; the mdat payload is a deterministic
+      * function of `seed`. No codec library needed — box framing is pure
+      * byte layout, exactly like the BMP/WAV paths. */
+    def encodeMp4(width: Int, height: Int, durationMs: Long, seed: Long,
+        payloadLen: Int): Array[Byte] = {
+      def box(fourcc: String, payload: Array[Byte]*): Array[Byte] = {
+        val len = 8 + payload.map(_.length).sum
+        val out = new java.io.ByteArrayOutputStream(len)
+        out.write(be32(len)); out.write(fourcc.getBytes("US-ASCII"))
+        payload.foreach(out.write)
+        out.toByteArray
+      }
+      val matrix = // identity transform (0x00010000 on the diagonal)
+        be32(0x10000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x10000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000)
+      val mvhd = box("mvhd",
+        be32(0),                 // version 0 + flags
+        be32(0), be32(0),        // creation, modification
+        be32(1000),              // timescale: 1 unit = 1 ms
+        be32(durationMs.toInt),  // duration in timescale units
+        be32(0x10000), be16(0x0100), be16(0), be32(0), be32(0), // rate, volume, reserved
+        matrix,
+        new Array[Byte](24),     // pre_defined
+        be32(2))                 // next_track_ID
+      val tkhd = box("tkhd",
+        be32(7),                 // version 0 + flags (enabled|in movie|in preview)
+        be32(0), be32(0),        // creation, modification
+        be32(1), be32(0),        // track_ID, reserved
+        be32(durationMs.toInt),
+        new Array[Byte](8),      // reserved
+        be16(0), be16(0), be16(0), be16(0), // layer, alt group, volume, reserved
+        matrix,
+        be32(width << 16), be32(height << 16)) // 16.16 fixed-point
+      val mdatPayload = new Array[Byte](payloadLen)
+      var i = 0
+      while (i < payloadLen) { mdatPayload(i) = ((seed + i * 13) & 0xFF).toByte; i += 1 }
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+        "isom".getBytes("US-ASCII"), "iso2".getBytes("US-ASCII"))
+      ftyp ++ box("moov", mvhd, box("trak", tkhd)) ++ box("mdat", mdatPayload)
+    }
+
+    /** Parse (width, height, duration_ms) by walking the MP4 box tree
+      * (moov -> mvhd for timescale/duration, moov -> trak -> tkhd for the
+      * display size; both mvhd/tkhd versions 0 and 1 handled). None for
+      * non-BMFF bytes or a corrupt box walk. */
+    def parseMp4(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (bytes.length < 16 || new String(bytes, 4, 4, "US-ASCII") != "ftyp") return None
+      var dims: Option[(Int, Int)] = None
+      var dur: Option[Long] = None
+      // walk children of [from, until); box sizes are validated so a
+      // corrupt length can never loop or read out of bounds
+      def walk(from: Long, until: Long, depth: Int): Unit = {
+        var off = from
+        while (off + 8 <= until && depth < 8) {
+          val sz = rdBe32(bytes, off.toInt).toLong & 0xFFFFFFFFL
+          if (sz < 8 || off + sz > until) return // corrupt framing: stop
+          val fourcc = new String(bytes, off.toInt + 4, 4, "US-ASCII")
+          fourcc match {
+            case "moov" | "trak" => walk(off + 8, off + sz, depth + 1)
+            case "mvhd" if sz >= 25 =>
+              val v = bytes(off.toInt + 8) & 0xFF
+              if (v == 1 && sz >= 40) {
+                val ts = rdBe32(bytes, off.toInt + 28).toLong & 0xFFFFFFFFL
+                val d = (rdBe32(bytes, off.toInt + 32).toLong << 32) |
+                  (rdBe32(bytes, off.toInt + 36).toLong & 0xFFFFFFFFL)
+                if (ts > 0) dur = Some(d * 1000L / ts)
+              } else if (v == 0 && sz >= 32) {
+                val ts = rdBe32(bytes, off.toInt + 20).toLong & 0xFFFFFFFFL
+                val d = rdBe32(bytes, off.toInt + 24).toLong & 0xFFFFFFFFL
+                if (ts > 0) dur = Some(d * 1000L / ts)
+              }
+            case "tkhd" if sz >= 92 =>
+              val v = bytes(off.toInt + 8) & 0xFF
+              val dimOff = if (v == 1) off.toInt + 96 else off.toInt + 84
+              if (dimOff + 8 <= off + sz)
+                dims = Some((rdBe32(bytes, dimOff) >>> 16, rdBe32(bytes, dimOff + 4) >>> 16))
+            case _ => ()
+          }
+          off += sz
+        }
+      }
+      walk(0L, bytes.length.toLong, 0)
+      for { (w, h) <- dims; d <- dur } yield (w, h, d)
+    }
+
+    /** A structurally-valid JPEG shell: SOI, JFIF APP0, SOF0 with real
+      * dimensions, SOS, deterministic entropy payload, EOI. The marker
+      * frame is what real metadata extractors walk — no entropy codec
+      * needed for the dimensions. */
+    def encodeJpegShell(width: Int, height: Int, seed: Long, payloadLen: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(64 + payloadLen)
+      def marker(m: Int, payload: Array[Byte]): Unit = {
+        out.write(0xFF); out.write(m)
+        out.write(be16(payload.length + 2)); out.write(payload)
+      }
+      out.write(0xFF); out.write(0xD8) // SOI
+      marker(0xE0, "JFIF ".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 0) ++ be16(72) ++ be16(72) ++ Array[Byte](0, 0))
+      marker(0xC0, Array[Byte](8) ++ be16(height) ++ be16(width) ++
+        Array[Byte](1, 0x11, 0)) // SOF0: precision, dims, 1 component
+      marker(0xDA, Array[Byte](1, 1, 0, 0, 63, 0)) // SOS
+      var i = 0
+      while (i < payloadLen) {
+        val b = ((seed + i * 17) & 0xFF).toInt
+        out.write(if (b == 0xFF) 0xFE else b) // never emit a marker prefix
+        i += 1
+      }
+      out.write(0xFF); out.write(0xD9) // EOI
+      out.toByteArray
+    }
+
+    /** Parse (width, height) from a JPEG via the SOF marker walk (SOF0-15
+      * minus DHT/DAC/RST); None for non-JPEG bytes. */
+    def parseJpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+        return None
+      var off = 2
+      while (off + 4 <= bytes.length) {
+        if ((bytes(off) & 0xFF) != 0xFF) return None // lost marker sync
+        val m = bytes(off + 1) & 0xFF
+        if (m == 0xD9 || m == 0xDA) return None // EOI / entropy data: no SOF seen
+        val len = rdBe16(bytes, off + 2)
+        if (len < 2 || off + 2 + len > bytes.length) return None
+        val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+        if (isSof) {
+          if (len < 7) return None
+          return Some((rdBe16(bytes, off + 7), rdBe16(bytes, off + 5)))
+        }
+        off += 2 + len
+      }
+      None
+    }
+
     /** Parse (sample_rate, duration_ms) by walking the RIFF chunk list;
       * None for non-WAVE bytes. */
     def parseWav(bytes: Array[Byte]): Option[(Int, Long)] = {
@@ -116,10 +267,11 @@ object Multimodal {
     }
   }
 
-  /** ==== STUB ==== deterministic fake codec standing in for COMPRESSED
-    * formats (JPEG/MP4 decoding — no codec libraries in this container);
-    * BMP/WAV go through the real [[Codecs]]. Every function is a pure
-    * function of the payload bytes, so tests are reproducible. */
+  /** ==== STUB ==== deterministic fake codec standing in for ENTROPY
+    * decoding (JPEG pixel / MP4 frame reconstruction — no codec libraries
+    * in this container); all container/header METADATA goes through the
+    * real [[Codecs]]. Every function is a pure function of the payload
+    * bytes, so tests are reproducible. */
   object StubCodec {
     /** "Decode" -> fixed-width feature vector (hash-folded byte histogram). */
     def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -192,28 +344,36 @@ object Multimodal {
             val n = textBytes.length
             (Codecs.encodeWav(16000, n, id),
               MediaMeta(kind, 0, 0, 16000, n.toLong * 1000L / 16000L))
-          case _ => // compressed-video stand-in (StubCodec territory)
-            (textBytes, MediaMeta(kind, 320, 240, 0, textBytes.length.toLong * 10))
+          case _ =>
+            // structurally-real ISO-BMFF MP4: mvhd duration + tkhd size are
+            // genuine box fields recovered by the parser walk (the entropy
+            // payload inside mdat is the only fake part — no codec libs)
+            (Codecs.encodeMp4(320, 240, textBytes.length.toLong * 10, id,
+              payloadLen = textBytes.length),
+              MediaMeta(kind, 320, 240, 0, textBytes.length.toLong * 10))
         }
         MediaRow(id, s"media://$source/$id", meta, bytes)
       }
   }
 
-  /** REAL metadata decode from payload bytes: BMP and WAV headers are
-    * parsed for real; `video` (compressed formats, no codec libs here)
-    * falls back to the labeled stub's deterministic metadata. Throws on a
-    * corrupt image/audio payload — drop-malformed is the caller's call. */
+  /** REAL metadata decode from payload bytes: BMP/JPEG image headers,
+    * RIFF/WAVE audio chunks, and ISO-BMFF (MP4) mvhd/tkhd boxes are all
+    * parsed for real — only frame/sample DECODING (entropy coding) remains
+    * stubbed. Throws on a corrupt payload — drop-malformed is the
+    * caller's call. */
   def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = kind match {
     case "image" =>
-      val (w, h) = Codecs.parseBmp(bytes)
-        .getOrElse(throw new IllegalArgumentException("not a BMP payload"))
+      val (w, h) = Codecs.parseBmp(bytes).orElse(Codecs.parseJpegDims(bytes))
+        .getOrElse(throw new IllegalArgumentException("not a BMP/JPEG payload"))
       MediaMeta(kind, w, h, 0, 0L)
     case "audio" =>
       val (rate, durMs) = Codecs.parseWav(bytes)
         .getOrElse(throw new IllegalArgumentException("not a WAVE payload"))
       MediaMeta(kind, 0, 0, rate, durMs)
     case _ =>
-      MediaMeta(kind, 320, 240, 0, bytes.length.toLong * 10) // stub
+      val (w, h, durMs) = Codecs.parseMp4(bytes)
+        .getOrElse(throw new IllegalArgumentException("not an ISO-BMFF payload"))
+      MediaMeta(kind, w, h, 0, durMs)
   }
 
   /** Distributed metadata decode: one partition-parallel pass over the

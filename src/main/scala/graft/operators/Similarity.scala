@@ -118,8 +118,7 @@ object Similarity {
     val v = corpus.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
     val bucketed = v.select(col("_id"), col("_v"),
-      posexplode(array((0 until tables).map(t =>
-        hyperplaneSignature(col("_v"), bitsPerTable, t * 7919L + 13L)): _*))
+      posexplode(GraftFunctions.hyperplane_sigs(col("_v"), bitsPerTable, tables))
         .as(Seq("table", "bucket")))
     val l = bucketed.select(col("_id").as("a"), col("_v").as("_va"),
       col("table"), col("bucket"))
@@ -139,10 +138,15 @@ object Similarity {
   }
 
   /**
-   * Random-hyperplane signature: `bits` sign bits packed into a long.
-   * Pure column arithmetic (explodes dims internally via aggregate).
+   * Random-hyperplane signature via column arithmetic — the REFERENCE
+   * construction for [[graft.functions.Kernels.hyperplaneSigs]], kept for
+   * the value-parity spec only. The product paths ([[lshTopK]],
+   * [[nearDupPairsLsh]]) use the one-pass StaticInvoke kernel: this
+   * version interprets `tables * bits` aggregate/zip_with folds per row,
+   * each allocating an intermediate array and re-deriving plane components
+   * — the q30 hot spot the kernel removed.
    */
-  def hyperplaneSignature(vec: Column, bits: Int, seed: Long): Column = {
+  private[operators] def hyperplaneSignature(vec: Column, bits: Int, seed: Long): Column = {
     val sigBits = (0 until bits).map { p =>
       val dotExpr = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -167,13 +171,24 @@ object Similarity {
    */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      trainPerList: Int = 256): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val v = corpus.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
-    // deterministic init: the nlist hash-smallest vectors
-    var centroids: Array[Seq[Double]] = v
+    // Lloyd training runs on a BOUNDED deterministic sample — the
+    // hash-order-smallest nlist*trainPerList vectors (a distributed top-k,
+    // no full sort) — materialized ONCE: at a 10^10-row corpus the k-means
+    // loop must not rescan (and posexplode) the full table per iteration.
+    // Assignment/serving below still covers the whole corpus exactly. When
+    // the corpus is smaller than the cap the sample IS the corpus, so
+    // small-scale results are identical to full-corpus training.
+    val train = v.orderBy(xxhash64(col("_id")), col("_id"))
+      .limit(nlist * trainPerList).localCheckpoint()
+    // deterministic init: the nlist hash-smallest vectors (= the sample's
+    // own hash-order prefix)
+    var centroids: Array[Seq[Double]] = train
       .orderBy(xxhash64(col("_id")), col("_id")).limit(nlist)
       .collect().map(_.getSeq[Double](1))
     // The centroid matrix rides as DATA (a broadcast single-row table),
@@ -191,7 +206,7 @@ object Similarity {
     def bucketOf: Column = (array_position(col("_sims"), array_max(col("_sims"))) - 1).cast("int")
     // Lloyd iterations: assign -> per-dimension mean -> rebuild centroids
     (0 until iters).foreach { _ =>
-      val assigned = withSims(v, col("_v"))
+      val assigned = withSims(train, col("_v"))
         .select(bucketOf.as("_c"), posexplode(col("_v")).as(Seq("_pos", "_x")))
       val means = assigned.groupBy("_c", "_pos").agg(avg(col("_x")).as("_m"))
         .groupBy("_c").agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_s"))
@@ -229,8 +244,8 @@ object Similarity {
       k: Int, bitsPerTable: Int = 12, tables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, as: String) = df.select(
       col(idCol).as(as), col(vecCol).cast("array<double>").as(s"_v_$as"),
-      posexplode(array((0 until tables).map(t =>
-        hyperplaneSignature(col(vecCol), bitsPerTable, t * 7919L + 13L)): _*))
+      posexplode(GraftFunctions.hyperplane_sigs(
+        col(vecCol).cast("array<double>"), bitsPerTable, tables))
         .as(Seq("table", "bucket")))
     val c = bucketed(corpus, "neighbor_id")
     val q = bucketed(queries, "query_id")

@@ -219,13 +219,53 @@ object SiteJson {
     } else n.toString
   }
 
+  // SsufidPost serde field order (post.rs:23-41) — no skip_serializing_if
+  // anywhere, so serde_json emits EVERY field, None as `null`
+  private val PostFieldOrder = Seq("id", "url", "author", "title", "description",
+    "category", "created_at", "updated_at", "thumbnail", "content",
+    "attachments", "metadata")
+  private val AttachmentFieldOrder = Seq("url", "name", "mime_type")
+
+  /** Spark's to_json drops null fields and stamps `.000` second fractions;
+    * serde_json::to_string_pretty emits every SsufidPost field (None ->
+    * null, post.rs has no skip_serializing_if) in declaration order, and
+    * time's RFC3339 formatter omits an all-zero subsecond part. Rebuild
+    * the item node to that exact shape. */
+  private def serdeShapedItem(postJson: String): com.fasterxml.jackson.databind.JsonNode = {
+    def rfc3339(n: com.fasterxml.jackson.databind.JsonNode) =
+      if (n == null || n.isNull) n
+      else new com.fasterxml.jackson.databind.node.TextNode(
+        n.asText().replaceFirst("\\.0+Z$", "Z"))
+    val src = mapper.readTree(postJson)
+    val item = mapper.createObjectNode()
+    PostFieldOrder.foreach { f =>
+      val v = src.get(f) match {
+        case null => com.fasterxml.jackson.databind.node.NullNode.getInstance()
+        case n if f == "created_at" || f == "updated_at" => rfc3339(n)
+        case n if f == "attachments" =>
+          val arr = mapper.createArrayNode()
+          n.elements().forEachRemaining { a =>
+            val att = mapper.createObjectNode()
+            AttachmentFieldOrder.foreach(af => att.set[com.fasterxml.jackson.databind.JsonNode](
+              af, Option(a.get(af)).getOrElse(
+                com.fasterxml.jackson.databind.node.NullNode.getInstance())))
+            arr.add(att)
+          }
+          arr
+        case n => n
+      }
+      item.set[com.fasterxml.jackson.databind.JsonNode](f, v)
+    }
+    item
+  }
+
   /**
    * Per-site JSON payload (cli main.rs:202-213 shape:
    * {title, source, description, items: [...]}) — one row per site,
    * PRETTY-printed byte-for-byte like the reference's
-   * serde_json::to_string_pretty output. One divergence is documented in
-   * COVERAGE.md: absent Option fields are omitted (Spark's to_json null
-   * handling) rather than serialized as null.
+   * serde_json::to_string_pretty output, items in exact SsufidPost serde
+   * shape (declaration field order, None as null, RFC3339 timestamps
+   * without zero fractions).
    */
   def perSite(posts: DataFrame): DataFrame = {
     val spark = posts.sparkSession
@@ -240,7 +280,7 @@ object SiteJson {
         root.put("source", s"https://$site")
         root.put("description", s"$site notices")
         val arr = root.putArray("items")
-        rows.toSeq.sortBy(-_._2).foreach(r => arr.add(mapper.readTree(r._3)))
+        rows.toSeq.sortBy(-_._2).foreach(r => arr.add(serdeShapedItem(r._3)))
         (site, pretty(root))
       }
       .toDF("site_id", "site_json")

@@ -20,4 +20,17 @@ class SparkEntrySpec extends SparkSuite {
       assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("no-oracle queries fingerprint deterministically across independent evaluations") {
+    // the tripwire the driver artifact records (fingerprints.json): a
+    // seeded crawl / connector query must hash identically when re-run
+    val sf = "/root/testdata/sf0.001"
+    Seq("q34_crawl_schedule", "q35_crawl_seen", "q46_dsv2_source").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val a = Verify.fingerprint(fn(spark, sf))
+      val b = Verify.fingerprint(fn(spark, sf))
+      assert(a === b, s"$name fingerprint unstable")
+      assert(a._2 > 0, s"$name fingerprinted 0 rows")
+    }
+  }
 }

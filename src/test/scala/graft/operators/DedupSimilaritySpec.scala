@@ -83,6 +83,35 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(chainCl.forall(_._2 == 1L), chainCl.filter(_._2 != 1L).take(5).mkString(","))
   }
 
+  test("hyperplane-sigs kernel is value-identical to the per-bit column construction") {
+    // the one-pass kernel must reproduce the HOF fold's hash chain and
+    // accumulation order exactly — same buckets, bit for bit
+    val bits = 8; val tables = 8
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("_v"))
+    val kernel = v.select(col("vec_id"),
+      graft.functions.GraftFunctions.hyperplane_sigs(col("_v"), bits, tables).as("sigs"))
+    val reference = v.select(col("vec_id"),
+      array((0 until tables).map(t =>
+        Similarity.hyperplaneSignature(col("_v"), bits, t * 7919L + 13L)): _*).as("sigs"))
+    val a = kernel.orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    val b = reference.orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(a === b)
+  }
+
+  test("IVF training is sample-bounded: a tiny training cap still serves exact full-probe results") {
+    // exactness of nprobe == nlist is independent of centroid quality —
+    // only the training cost changes. trainPerList = 1 caps Lloyd at
+    // nlist vectors, the 10^10-corpus regime in miniature.
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rk", "neighbor_id").orderBy("query_id", "rk")
+        .collect().map(_.mkString("|")).toSeq
+    val q = emb.limit(5)
+    val full = key(Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 8, trainPerList = 1))
+    val brute = key(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5))
+    assert(full === brute)
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
     pairs.foreach { r =>

@@ -67,6 +67,30 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("MP4 codec: mvhd/tkhd round-trip, corrupt-box rejection") {
+    val mp4 = Multimodal.Codecs.encodeMp4(320, 240, 5300L, seed = 7, payloadLen = 100)
+    assert(Multimodal.Codecs.parseMp4(mp4) === Some((320, 240, 5300L)))
+    // not BMFF at all
+    assert(Multimodal.Codecs.parseMp4("RIFFxxxxWAVE".getBytes) === None)
+    // corrupt top-level box length: the walk stops without dims/duration
+    val bad = mp4.clone(); bad(0) = 0x7F.toByte
+    assert(Multimodal.Codecs.parseMp4(bad) === None)
+    // truncated mid-moov
+    assert(Multimodal.Codecs.parseMp4(mp4.take(40)) === None)
+  }
+
+  test("JPEG codec: SOF marker walk recovers dimensions, rejects junk") {
+    val jpg = Multimodal.Codecs.encodeJpegShell(640, 480, seed = 3, payloadLen = 64)
+    assert(Multimodal.Codecs.parseJpegDims(jpg) === Some((640, 480)))
+    assert(Multimodal.Codecs.parseJpegDims("BMnope".getBytes) === None)
+    // SOI alone (no SOF before entropy data) is rejected
+    assert(Multimodal.Codecs.parseJpegDims(Array(0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xDA.toByte, 0, 6, 1, 1, 0, 0)) === None)
+    // a JPEG image payload decodes through decodeMeta's image fallback
+    val m = Multimodal.decodeMeta("image", jpg)
+    assert(m.width === 640 && m.height === 480)
+  }
+
   test("stub codec: resize and frame sampling are deterministic reductions") {
     val bytes = "abcdefghij".getBytes("UTF-8")
     assert(Multimodal.StubCodec.resize(bytes, 2).toSeq === "acegi".getBytes("UTF-8").toSeq)

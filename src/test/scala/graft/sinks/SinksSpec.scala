@@ -104,9 +104,11 @@ class SinksSpec extends SparkSuite {
       .toDF().withColumn("rank", col("id").substr(2, 9).cast("long"))
     val j = SiteJson.perSite(df).collect().head.getAs[String]("site_json")
     // reference-shaped fixture: what serde_json::to_string_pretty emits for
-    // {title, source, description, items:[...]} with these two posts
-    // (2-space indent, `"key": value`, one element per line; absent Options
-    // omitted — divergence documented in COVERAGE.md)
+    // {title, source, description, items:[...]} with these two posts —
+    // 2-space indent, `"key": value`, one element per line, EVERY
+    // SsufidPost field in declaration order (post.rs:23-41 has no
+    // skip_serializing_if: None serializes as null), RFC3339 timestamps
+    // without an all-zero subsecond part
     val expected =
       """{
         |  "title": "example.com",
@@ -114,32 +116,55 @@ class SinksSpec extends SparkSuite {
         |  "description": "example.com notices",
         |  "items": [
         |    {
-        |      "site_id": "example.com",
         |      "id": "p2",
         |      "url": "https://example.com/basic",
+        |      "author": null,
         |      "title": "Two <&>",
+        |      "description": null,
         |      "category": [],
-        |      "created_at": "2024-03-22T12:00:00.000Z",
+        |      "created_at": "2024-03-22T12:00:00Z",
+        |      "updated_at": null,
+        |      "thumbnail": null,
         |      "content": "Basic Content",
-        |      "attachments": []
+        |      "attachments": [],
+        |      "metadata": null
         |    },
         |    {
-        |      "site_id": "example.com",
         |      "id": "p1",
         |      "url": "https://example.com/basic",
         |      "author": "Basic Author",
         |      "title": "One",
+        |      "description": null,
         |      "category": [
         |        "Basic Category"
         |      ],
-        |      "created_at": "2024-03-22T12:00:00.000Z",
-        |      "updated_at": "2024-03-27T12:00:00.000Z",
+        |      "created_at": "2024-03-22T12:00:00Z",
+        |      "updated_at": "2024-03-27T12:00:00Z",
         |      "thumbnail": "https://example.com/basic_thumb.jpg",
         |      "content": "Basic Content",
-        |      "attachments": []
+        |      "attachments": [],
+        |      "metadata": null
         |    }
         |  ]
         |}""".stripMargin
     assert(j === expected)
+  }
+
+  test("per-site JSON: attachment Options serialize as null in serde field order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(basicPost.copy(id = "p1",
+      attachments = Seq(Attachment("https://example.com/a.pdf", None, Some("application/pdf")))))
+      .toDF().withColumn("rank", lit(1L))
+    val j = SiteJson.perSite(df).collect().head.getAs[String]("site_json")
+    val expectedAttachment =
+      """      "attachments": [
+        |        {
+        |          "url": "https://example.com/a.pdf",
+        |          "name": null,
+        |          "mime_type": "application/pdf"
+        |        }
+        |      ],""".stripMargin
+    assert(j.contains(expectedAttachment), j)
   }
 }
