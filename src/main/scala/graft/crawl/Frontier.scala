@@ -266,7 +266,7 @@ object Crawl {
     // in (O(|delta|)) instead of re-aggregating the whole seen set
     // (O(|seen|) per wave — a full-state scan per wave at 10^10 URLs)
     val sketch = new SeenSet.IncrementalSketch(cfg.seenSketch,
-      initialCapacity = math.max(seenCount * 4, 1L << 20))
+      initialCapacity = seenCount * 4)
     if (seenCount > 0) sketch.add(seenParts.head, seenCount, "url_hash")(seenAll)
     var wave = wave0
     // frontier size is carried between waves (the producer counted it) —
@@ -307,13 +307,19 @@ object Crawl {
     }
 
     while (wave < cfg.maxWaves && frontierCount > 0) {
+      // a site that already exhausted its retries fetches nothing further
+      // this run (the reference drops the failed plugin for the whole run)
+      // — its leftover frontier rows are pruned before any scheduling work
+      val frontierLive =
+        if (midCrawlFailures.isEmpty) frontier
+        else frontier.filter(!col("site_id").isin(midCrawlFailures.keys.toSeq: _*))
       // 1. canonicalize + hash (codegen'd kernels), join robots rules
       //    (broadcast) and enforce Disallow BEFORE any scheduling work.
       //    Only the 8-byte HASH of the canonical form travels through the
       //    wave's shuffles — the canonical string itself is recomputed by
       //    the (parallel, codegen'd) kernel at stage-out time: shuffle
       //    bytes are the contended resource, per-row CPU is not.
-      val keyed = frontier
+      val keyed = frontierLive
         .withColumn("url_hash", xxhash64(GraftFunctions.url_canonicalize(col("url"))))
         .withColumn("host", GraftFunctions.url_host(col("url")))
         .join(robotsDf, Seq("host"), "left")

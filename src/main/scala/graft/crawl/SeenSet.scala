@@ -133,6 +133,11 @@ object SeenSet {
     def add(delta: DataFrame, deltaCount: Long, hashCol: String)(
         seenAll: => DataFrame): Unit = {
       if (deltaCount <= 0L) return
+      // the FIRST fill right-sizes the geometry to the observed delta: a
+      // fixed large floor would make every small crawl build and merge
+      // capacity-sized (empty) sketches per wave — per-partition sketch
+      // pre-aggregation costs O(bits * partitions) regardless of rows
+      if (bytes.isEmpty) capacity = math.max(capacity, deltaCount * 4)
       items += deltaCount
       // cuckoo kicks start failing near full load — rebuild at half
       // capacity so merges stay in the reliably-lossless regime
