@@ -132,7 +132,7 @@ object Bench {
     //  - best_quiet_pair_eff      (best pair among rounds whose own membw
     //                              calibration >= quiet threshold — the
     //                              gate readable when the host is quiet)
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPEATS", "5").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPEATS", "7").toInt
     val quietThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_MEMBW", "0.8").toDouble
 
     // Each measurement runs in a FRESH JVM pinned to its core budget
@@ -224,19 +224,31 @@ object Bench {
     // the N->4N gate decidable from ONE artifact on a host where three of
     // five blind-scheduled rounds used to land in neighbor-noise windows.
     val quietTarget = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_PAIRS", "3").toInt
-    val quietWaitPerPair = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "90").toInt
+    val quietWaitPerPair = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "120").toInt
+    // hard wall-clock budget for the scaling phase: while NO quiet pair has
+    // landed yet, rounds keep going past maxRounds until this budget runs
+    // out — on a continuously noisy host the artifact then honestly shows
+    // zero quiet pairs and the normalized estimator carries the evidence
+    val wallBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "1320").toLong
+    val phaseStart = System.nanoTime()
+    def elapsedSec: Long = (System.nanoTime() - phaseStart) / 1000000000L
     val pairQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val postMembw = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def inBand(r: Double): Boolean = r >= quietThreshold && r <= 1.0 / quietThreshold
+    // a post-pair probe doubles as the next pair's pre-probe when it was
+    // quiet (re-burned after any nap)
+    var carriedProbe: Option[((Double, Double), (Double, Double))] = None
     var round = 0
-    while (round < maxRounds &&
+    while ((round < maxRounds ||
+        (pairQuiet.count(identity) == 0 && elapsedSec < wallBudgetSec && round < 12)) &&
       (round < math.min(2, maxRounds) || pairQuiet.count(identity) < quietTarget)) {
-      var probeQuiet = true
+      var preQuiet = true
       if (pin) {
-        var bl = burnRun(cpusLow)
-        var bh = burnRun(cpusHigh)
+        var (bl, bh) = carriedProbe.getOrElse((burnRun(cpusLow), burnRun(cpusHigh)))
+        carriedProbe = None
         var waitLeft = quietWaitPerPair // per PAIR, not shared across rounds
         // the probe naps on BOTH noise directions (see quietPairs below)
-        while (waitLeft > 0 &&
-          (bl._2 / bh._2 < quietThreshold || bl._2 / bh._2 > 1.0 / quietThreshold)) {
+        while (waitLeft > 0 && !inBand(bl._2 / bh._2)) {
           val nap = math.min(30, waitLeft)
           System.err.println(f"[bench] host noisy (membw ${bl._2 / bh._2}%.2f outside " +
             f"[$quietThreshold%.2f, ${1.0 / quietThreshold}%.2f]), napping ${nap}s " +
@@ -246,18 +258,32 @@ object Bench {
           bl = burnRun(cpusLow)
           bh = burnRun(cpusHigh)
         }
-        probeQuiet = bl._2 / bh._2 >= quietThreshold && bl._2 / bh._2 <= 1.0 / quietThreshold
+        preQuiet = inBand(bl._2 / bh._2)
         burnsLow += bl; burnsHigh += bh
       }
       val rl = timedRun(cpusLow, warm = round == 0)
       System.err.println(f"[bench] local[$cpusLow] round${round + 1}: ${rl._1}%.2fs")
       runsLow += rl
       val rh = timedRun(cpusHigh, warm = round == 0)
+      runsHigh += rh
+      // POST-pair probe: noise that arrived mid-pair corrupts the crawl
+      // ratio even when the pre-probe was quiet (observed: a 0.88-membw
+      // pre-probe followed by a 0.59-efficiency pair). A pair is gate
+      // evidence only when the host read quiet on BOTH sides of it. Both
+      // probes measure the HOST, never the crawl's own timing — still
+      // noise-gated sampling, not favorable stopping.
+      var postQuiet = true
+      if (pin) {
+        val pl = burnRun(cpusLow); val ph = burnRun(cpusHigh)
+        postMembw += pl._2 / ph._2
+        postQuiet = inBand(pl._2 / ph._2)
+        carriedProbe = if (postQuiet) Some((pl, ph)) else None
+      }
+      val quiet = preQuiet && postQuiet
       System.err.println(f"[bench] local[$cpusHigh] round${round + 1}: ${rh._1}%.2fs" +
         f" (pair efficiency: ${(rl._1 / rh._1) / (cpusHigh.toDouble / cpusLow)}%.3f," +
-        s" quiet probe: $probeQuiet)")
-      runsHigh += rh
-      pairQuiet += probeQuiet
+        s" quiet: $quiet [pre=$preQuiet post=$postQuiet])")
+      pairQuiet += quiet
       round += 1
     }
     require((runsLow ++ runsHigh).map(_._2).distinct.size == 1,
@@ -288,13 +314,12 @@ object Bench {
     val pairEff = runsLow.zip(runsHigh).map { case (l, h) => (l._1 / h._1) / speedup }.toSeq
     val pairMembw = burnsLow.zip(burnsHigh).map { case (l, h) => l._2 / h._2 }.toSeq
     val pairNorm = pairEff.zip(pairMembw).map { case (e, m) => e / m }
-    // TWO-SIDED quiet band: a membw ratio far ABOVE 1.0 means the noise
-    // hit the LOW-cpu side, which would INFLATE the pair's crawl
-    // efficiency — such a pair must not qualify as gate evidence any more
-    // than a 0.6 ratio would
-    val quietPairs = pairEff.zip(pairMembw)
-      .filter { case (_, m) => m >= quietThreshold && m <= 1.0 / quietThreshold }
-      .map(_._1)
+    // TWO-SIDED quiet band on BOTH the pre- and post-pair probes: a membw
+    // ratio far above 1.0 means the noise hit the LOW-cpu side (inflating
+    // the pair), far below means it hit the high side (deflating it), and
+    // a quiet pre-probe alone misses noise that arrived mid-pair — only a
+    // pair bracketed by quiet probes qualifies as gate evidence
+    val quietPairs = pairEff.zip(pairQuiet.toSeq).filter(_._2).map(_._1)
     val bestQuiet = if (quietPairs.nonEmpty) Some(quietPairs.max) else None
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -322,6 +347,7 @@ object Bench {
         s""""pair_eff":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
         (if (pairMembw.nonEmpty)
           s""""pair_membw_eff":${pairMembw.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
+            s""""pair_membw_post":${postMembw.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
             s""""pair_eff_normalized":${pairNorm.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
             f""""pair_eff_normalized_best":${pairNorm.max}%.3f,""" +
             f""""quiet_membw_threshold":$quietThreshold%.2f,""" +

@@ -271,6 +271,19 @@ object SparkEntry {
     "q28_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)),
 
+    // ---- the COMPOSED embedding-dedup pipeline: corpus -> exact cosine
+    // pairs (block tiles) -> clusters -> keep one per cluster ----
+    "q53_embedding_dedup" -> ((s, dir) =>
+      Similarity.dedupCorpusByEmbedding(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.4)
+        .select(col("vec_id"))),
+
+    // ---- the composed quality gate: documents inside the token/punct/
+    // word-shape envelope ----
+    "q54_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(t(s, dir, "documents"), "text")
+        .select(col("doc_id"))),
+
     // ---- similarity search ----
     "q29_ann_brute" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -713,6 +726,41 @@ object SparkEntry {
         |labels AS (SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
+
+    // transitive closure of the exact-cosine pair graph; kept corpus =
+    // everything except non-representative cluster members (the embedding
+    // analog of q52)
+    "q53_embedding_dedup" ->
+      """WITH RECURSIVE pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+        |e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (SELECT u, v FROM e
+        |  UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |labels AS (SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
+
+    // same feature arithmetic as q32, applied as a filter (the gate is
+    // tuned to actually DROP rows on the synthetic corpus — 420/500 kept
+    // at sf0.01 — so a filter bug cannot hide behind keep-everything)
+    "q54_quality_filter" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |feats AS (SELECT doc_id,
+        |  len(t) AS n_tokens,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |    * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+        |    * 1.0 / greatest(len(t), 1), 6) AS stopword_ratio,
+        |  round(CASE WHEN len(t) > 0 THEN list_aggregate(list_transform(t, x -> len(x)), 'sum')
+        |    * 1.0 / len(t) ELSE 0.0 END, 6) AS mean_word_len
+        |  FROM base)
+        |SELECT doc_id FROM feats
+        |WHERE n_tokens BETWEEN 20 AND 100000 AND punct_ratio <= 0.3
+        |  AND stopword_ratio >= 0.02
+        |  AND mean_word_len BETWEEN 2.0 AND 5.0""".stripMargin,
 
     "q29_ann_brute" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

@@ -235,6 +235,19 @@ object Similarity {
   }
 
   /**
+   * The COMPOSED embedding-dedup pipeline, corpus in -> deduplicated
+   * corpus out: exact block-tile cosine pairs -> transitive near-dup
+   * clusters (min-label + pointer jumping) -> one canonical row per
+   * cluster. The embedding-space analog of [[Dedup.dedupCorpus]]; every
+   * stage is the scale-shaped operator above.
+   */
+  def dedupCorpusByEmbedding(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      blocks: Int = 8): DataFrame =
+    Dedup.keepClusterRepresentatives(corpus, idCol,
+      Dedup.nearDupClusters(nearDupPairs(corpus, idCol, vecCol, threshold, blocks)))
+
+  /**
    * LSH ANN: bucket corpus and queries by multiple independent signature
    * bands; candidates = bucket collisions; exact cosine re-rank within
    * candidates. `tables` independent hash tables trade memory for recall.

@@ -69,4 +69,25 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint: md5 of the sorted distinct token set. */
   def docFingerprint(text: Column): Column = Dedup.fingerprint(text)
+
+  /**
+   * The composed quality FILTER a training-data pipeline actually runs:
+   * keep documents inside the token-count / punctuation / word-shape
+   * envelope (fasttext-style cheap gates). One streaming pass — the
+   * feature struct never materializes outside the filter, and upstream
+   * column pruning still reaches the scan.
+   */
+  def qualityFilter(
+      df: DataFrame, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      maxPunctRatio: Double = 0.3, minStopwordRatio: Double = 0.02,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 5.0): DataFrame = {
+    val q = qualityFeatures(col(textCol))
+    df.withColumn("_q", q)
+      .filter(col("_q.n_tokens").between(minTokens, maxTokens) &&
+        col("_q.punct_ratio") <= maxPunctRatio &&
+        col("_q.stopword_ratio") >= minStopwordRatio &&
+        col("_q.mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+      .drop("_q")
+  }
 }

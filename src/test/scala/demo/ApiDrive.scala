@@ -166,6 +166,14 @@ object ApiDrive {
     println(s"dedup clusters: ${clusters.select("cluster").distinct.count} " +
       s"over ${clusters.count} paired docs; corpus ${docs001.count} -> kept ${kept.count}")
 
+    // 13c. The embedding-space analog + the composed quality gate
+    val emb001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val embKept = graft.operators.Similarity.dedupCorpusByEmbedding(
+      emb001, "vec_id", "embedding", 0.4)
+    val quality = graft.operators.TextAnalysis.qualityFilter(docs001, "text")
+    println(s"embedding dedup: ${emb001.count} -> ${embKept.count}; " +
+      s"quality gate: ${docs001.count} -> ${quality.count}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",

@@ -112,6 +112,35 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(full === brute)
   }
 
+  test("embedding-dedup corpus: dropped rows are exactly the non-representative cluster members") {
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+    val clusters = Dedup.nearDupClusters(pairs)
+    val kept = Similarity.dedupCorpusByEmbedding(emb, "vec_id", "embedding", 0.4)
+    val dropped = emb.select("vec_id")
+      .join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+    val nonReps = clusters.filter(col("id") =!= col("cluster"))
+    assert(dropped.count() === nonReps.count())
+    assert(dropped.join(nonReps.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .count() === 0)
+    // every cluster keeps exactly its minimum id
+    assert(kept.join(clusters.filter(col("id") === col("cluster"))
+      .select(col("id").as("vec_id")), Seq("vec_id"), "left_semi").count() ===
+      clusters.select("cluster").distinct().count())
+  }
+
+  test("quality filter keeps exactly the rows inside the feature envelope") {
+    val kept = TextAnalysis.qualityFilter(docs, "text")
+    val feats = docs.select(col("doc_id"),
+      TextAnalysis.qualityFeatures(col("text")).as("q"))
+    val expected = feats.filter(col("q.n_tokens").between(20, 100000) &&
+      col("q.punct_ratio") <= 0.3 && col("q.stopword_ratio") >= 0.02 &&
+      col("q.mean_word_len").between(2.0, 5.0))
+    assert(kept.count() === expected.count())
+    assert(kept.count() > 0 && kept.count() < docs.count(),
+      "the gate must actually discriminate on the fixture corpus")
+    assert(kept.columns.toSeq === docs.columns.toSeq) // passthrough schema
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
     pairs.foreach { r =>
