@@ -79,7 +79,8 @@ object Daemon {
           o = o.copy(failFetch = args(i + 1).split(",").map { f =>
             f.split(":") match {
               case Array(s, w, n) if s.nonEmpty &&
-                  w.forall(_.isDigit) && n.forall(_.isDigit) =>
+                  w.nonEmpty && w.forall(_.isDigit) &&
+                  n.nonEmpty && n.forall(_.isDigit) =>
                 (s, w.toInt) -> n.toInt
               case _ => throw new IllegalArgumentException(
                 s"--fail-fetch expects site:wave:attempts, got '$f'")

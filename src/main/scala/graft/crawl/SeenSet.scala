@@ -43,11 +43,26 @@ object SeenSet {
   }
 
   /** Build a serialized cuckoo filter of the seen hashes (the deletable
-    * alternative sketch — custom TypedImperativeAggregate). */
-  def buildCuckoo(seen: DataFrame, hashCol: String, expectedItems: Long): Array[Byte] =
-    seen.agg(graft.functions.CuckooFunctions
-      .cuckoo_filter_agg(col(hashCol), math.max(expectedItems, 16L)).as("f"))
+    * alternative sketch — custom TypedImperativeAggregate). A saturated
+    * result (some fingerprint dropped during insert or partial-aggregation
+    * merge — a would-be false NEGATIVE) is rebuilt at 4x capacity until
+    * lossless; pass `growOnSaturation = false` to get the flagged bytes
+    * back instead (callers that must keep a fixed geometry, like the
+    * incremental sketch, manage growth themselves). */
+  def buildCuckoo(seen: DataFrame, hashCol: String, expectedItems: Long,
+      growOnSaturation: Boolean = true): Array[Byte] = {
+    var cap = math.max(expectedItems, 16L)
+    var bytes = seen.agg(graft.functions.CuckooFunctions
+      .cuckoo_filter_agg(col(hashCol), cap).as("f"))
       .collect()(0).getAs[Array[Byte]]("f")
+    while (growOnSaturation && graft.functions.CuckooFilter.isSaturated(bytes)) {
+      cap *= 4
+      bytes = seen.agg(graft.functions.CuckooFunctions
+        .cuckoo_filter_agg(col(hashCol), cap).as("f"))
+        .collect()(0).getAs[Array[Byte]]("f")
+    }
+    bytes
+  }
 
   /**
    * New-URL filter: rows of `wave` whose `hashCol` is NOT in `seen`.
@@ -111,8 +126,19 @@ object SeenSet {
     }
 
     private def build(df: DataFrame, hashCol: String): Array[Byte] =
-      if (kind == "cuckoo") buildCuckoo(df, hashCol, capacity)
+      if (kind == "cuckoo") buildCuckoo(df, hashCol, capacity, growOnSaturation = false)
       else buildBloom(df, hashCol, capacity, fpp)
+
+    /** Full rebuild from the exact table, growing capacity until the
+      * cuckoo build is lossless (bloom never saturates). */
+    private def rebuild(seenAll: DataFrame, hashCol: String): Array[Byte] = {
+      var b = build(seenAll, hashCol)
+      while (kind == "cuckoo" && graft.functions.CuckooFilter.isSaturated(b)) {
+        capacity *= 4
+        b = build(seenAll, hashCol)
+      }
+      b
+    }
 
     private def mergeBytes(a: Array[Byte], b: Array[Byte]): Option[Array[Byte]] =
       if (kind == "cuckoo") {
@@ -144,12 +170,17 @@ object SeenSet {
       val limit = if (kind == "cuckoo") capacity / 2 else capacity
       if (items > limit) {
         capacity = math.max(items * 4, capacity * 4)
-        bytes = Some(build(seenAll, hashCol))
+        bytes = Some(rebuild(seenAll, hashCol))
       } else {
         val d = build(delta, hashCol)
-        bytes = bytes.fold(Option(d))(mergeBytes(_, d)) match {
+        val merged =
+          if (kind == "cuckoo" && graft.functions.CuckooFilter.isSaturated(d)) None
+          else bytes.fold(Option(d))(mergeBytes(_, d))
+        bytes = merged match {
           case some @ Some(_) => some
-          case None           => Some(build(seenAll, hashCol)) // lossy cuckoo merge
+          case None => // saturated delta build or lossy cuckoo merge
+            capacity *= 4
+            Some(rebuild(seenAll, hashCol))
         }
       }
     }

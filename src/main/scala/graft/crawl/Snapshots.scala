@@ -55,6 +55,39 @@ object Snapshots {
     else None
   }
 
+  /** All committed snapshot versions, oldest first. A version directory
+    * only counts once its manifest exists (the table writes precede the
+    * manifest, so a crashed half-written snapshot is invisible here). */
+  def versions(dir: String): Seq[Int] = {
+    val root = Paths.get(dir, "snapshots")
+    if (!Files.isDirectory(root)) return Seq.empty
+    val stream = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toInt)
+        .filter(v => Files.exists(root.resolve(s"v$v/manifest.json")))
+        .toSeq.sorted
+    } finally stream.close()
+  }
+
+  /**
+   * Time-travel read of a snapshotted table: `version = None` reads the
+   * CURRENT snapshot, `Some(v)` reads exactly version v — every committed
+   * version stays readable (the Iceberg snapshot-isolation property: a
+   * reader pinned to v sees v's files regardless of later commits).
+   */
+  def read(spark: SparkSession, dir: String, table: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(dir)).getOrElse(
+      throw new IllegalStateException(s"no CURRENT snapshot under $dir"))
+    require(Files.exists(Paths.get(dir, "snapshots", s"v$v", "manifest.json")),
+      s"snapshot v$v is not committed under $dir")
+    readTable(spark, dir, v, table)
+  }
+
   private def readTable(spark: SparkSession, dir: String, v: Int, name: String): DataFrame =
     spark.read.parquet(Paths.get(dir, "snapshots", s"v$v", name).toString)
 

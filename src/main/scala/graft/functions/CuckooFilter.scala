@@ -16,6 +16,12 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
 
   import CuckooFilter._
 
+  /** True once ANY insert dropped a fingerprint (kicks exhausted). A
+    * saturated filter can return false for an inserted item — a FALSE
+    * NEGATIVE for the seen set — so the flag rides through serialization
+    * and merges; builders must rebuild at a larger capacity when set. */
+  var saturated: Boolean = false
+
   def this(expectedItems: Long) = this(
     CuckooFilter.bucketsFor(expectedItems),
     new Array[Short](CuckooFilter.bucketsFor(expectedItems) * CuckooFilter.SlotsPerBucket))
@@ -88,6 +94,7 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
       if (slotInsert(i, fp)) return true
       kick += 1
     }
+    saturated = true
     false
   }
 
@@ -110,6 +117,7 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
     * so callers must rebuild from the exact table when this reports loss. */
   def mergeLossless(other: CuckooFilter): Boolean = {
     require(other.numBuckets == numBuckets, "cuckoo filters must be same-sized to merge")
+    saturated |= other.saturated
     var ok = true
     var b = 0
     while (b < other.numBuckets) {
@@ -121,15 +129,16 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
       }
       b += 1
     }
-    ok
+    ok && !saturated
   }
 
   def mergeInPlace(other: CuckooFilter): CuckooFilter = { mergeLossless(other); this }
 
   def serialize(): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4 + table.length * 2)
+    val buf = ByteBuffer.allocate(4 + table.length * 2 + 1)
     buf.putInt(numBuckets)
     table.foreach(buf.putShort)
+    buf.put(if (saturated) 1.toByte else 0.toByte)
     buf.array()
   }
 }
@@ -157,8 +166,16 @@ object CuckooFilter {
     val table = new Array[Short](n * SlotsPerBucket)
     var i = 0
     while (i < table.length) { table(i) = buf.getShort; i += 1 }
-    new CuckooFilter(n, table)
+    val f = new CuckooFilter(n, table)
+    // trailing saturation byte (absent in pre-flag serializations)
+    if (buf.remaining() >= 1) f.saturated = buf.get() != 0
+    f
   }
+
+  /** Saturation check without materializing the table. */
+  def isSaturated(bytes: Array[Byte]): Boolean =
+    bytes.length == 4 + ByteBuffer.wrap(bytes).getInt * SlotsPerBucket * 2 + 1 &&
+      bytes(bytes.length - 1) != 0
 
   /** Static helper for the codegen'd membership expression. */
   def mightContainSerialized(bytes: Array[Byte], hash: Long): Boolean =

@@ -158,30 +158,41 @@ object Multimodal {
       var dims: Option[(Int, Int)] = None
       var dur: Option[Long] = None
       // walk children of [from, until); box sizes are validated so a
-      // corrupt length can never loop or read out of bounds
+      // corrupt length can never loop or read out of bounds. Real-world
+      // framing handled: size==0 (box extends to the end of its container)
+      // and size==1 (64-bit largesize header — standard for >4 GB mdat).
       def walk(from: Long, until: Long, depth: Int): Unit = {
         var off = from
         while (off + 8 <= until && depth < 8) {
-          val sz = rdBe32(bytes, off.toInt).toLong & 0xFFFFFFFFL
-          if (sz < 8 || off + sz > until) return // corrupt framing: stop
+          var sz = rdBe32(bytes, off.toInt).toLong & 0xFFFFFFFFL
+          var hdr = 8L
+          if (sz == 0L) sz = until - off
+          else if (sz == 1L) {
+            if (off + 16 > until) return
+            sz = (rdBe32(bytes, off.toInt + 8).toLong << 32) |
+              (rdBe32(bytes, off.toInt + 12).toLong & 0xFFFFFFFFL)
+            hdr = 16L
+          }
+          if (sz < hdr || off + sz > until) return // corrupt framing: stop
           val fourcc = new String(bytes, off.toInt + 4, 4, "US-ASCII")
+          val base = (off + hdr).toInt // full-box payload (version byte first)
           fourcc match {
-            case "moov" | "trak" => walk(off + 8, off + sz, depth + 1)
-            case "mvhd" if sz >= 25 =>
-              val v = bytes(off.toInt + 8) & 0xFF
-              if (v == 1 && sz >= 40) {
-                val ts = rdBe32(bytes, off.toInt + 28).toLong & 0xFFFFFFFFL
-                val d = (rdBe32(bytes, off.toInt + 32).toLong << 32) |
-                  (rdBe32(bytes, off.toInt + 36).toLong & 0xFFFFFFFFL)
+            case "moov" | "trak" => walk(off + hdr, off + sz, depth + 1)
+            case "mvhd" if sz >= hdr + 17 =>
+              val v = bytes(base) & 0xFF
+              if (v == 1 && sz >= hdr + 32) {
+                val ts = rdBe32(bytes, base + 20).toLong & 0xFFFFFFFFL
+                val d = (rdBe32(bytes, base + 24).toLong << 32) |
+                  (rdBe32(bytes, base + 28).toLong & 0xFFFFFFFFL)
                 if (ts > 0) dur = Some(d * 1000L / ts)
-              } else if (v == 0 && sz >= 32) {
-                val ts = rdBe32(bytes, off.toInt + 20).toLong & 0xFFFFFFFFL
-                val d = rdBe32(bytes, off.toInt + 24).toLong & 0xFFFFFFFFL
+              } else if (v == 0 && sz >= hdr + 24) {
+                val ts = rdBe32(bytes, base + 12).toLong & 0xFFFFFFFFL
+                val d = rdBe32(bytes, base + 16).toLong & 0xFFFFFFFFL
                 if (ts > 0) dur = Some(d * 1000L / ts)
               }
-            case "tkhd" if sz >= 92 =>
-              val v = bytes(off.toInt + 8) & 0xFF
-              val dimOff = if (v == 1) off.toInt + 96 else off.toInt + 84
+            case "tkhd" if sz >= hdr + 84 =>
+              val v = bytes(base) & 0xFF
+              val dimOff = if (v == 1) base + 88 else base + 76
               if (dimOff + 8 <= off + sz)
                 dims = Some((rdBe32(bytes, dimOff) >>> 16, rdBe32(bytes, dimOff + 4) >>> 16))
             case _ => ()
@@ -225,18 +236,27 @@ object Multimodal {
       if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
         return None
       var off = 2
-      while (off + 4 <= bytes.length) {
+      while (off + 2 <= bytes.length) {
         if ((bytes(off) & 0xFF) != 0xFF) return None // lost marker sync
-        val m = bytes(off + 1) & 0xFF
+        // 0xFF fill bytes before a marker are legal padding (B.1.1.2)
+        var p = off + 1
+        while (p < bytes.length && (bytes(p) & 0xFF) == 0xFF) p += 1
+        if (p >= bytes.length) return None
+        val m = bytes(p) & 0xFF
         if (m == 0xD9 || m == 0xDA) return None // EOI / entropy data: no SOF seen
-        val len = rdBe16(bytes, off + 2)
-        if (len < 2 || off + 2 + len > bytes.length) return None
-        val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
-        if (isSof) {
-          if (len < 7) return None
-          return Some((rdBe16(bytes, off + 7), rdBe16(bytes, off + 5)))
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { // standalone: no length field
+          off = p + 1
+        } else {
+          if (p + 3 > bytes.length) return None
+          val len = rdBe16(bytes, p + 1)
+          if (len < 2 || p + 1 + len > bytes.length) return None
+          val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (isSof) {
+            if (len < 7) return None
+            return Some((rdBe16(bytes, p + 6), rdBe16(bytes, p + 4)))
+          }
+          off = p + 1 + len
         }
-        off += 2 + len
       }
       None
     }

@@ -82,12 +82,14 @@ object TextAnalysis {
       minTokens: Int = 20, maxTokens: Int = 100000,
       maxPunctRatio: Double = 0.3, minStopwordRatio: Double = 0.02,
       minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 5.0): DataFrame = {
+    // filter on the struct expression directly (no temp column — a caller
+    // column of any name passes through untouched); Catalyst's common
+    // subexpression elimination shares the one struct computation across
+    // the field accesses
     val q = qualityFeatures(col(textCol))
-    df.withColumn("_q", q)
-      .filter(col("_q.n_tokens").between(minTokens, maxTokens) &&
-        col("_q.punct_ratio") <= maxPunctRatio &&
-        col("_q.stopword_ratio") >= minStopwordRatio &&
-        col("_q.mean_word_len").between(minMeanWordLen, maxMeanWordLen))
-      .drop("_q")
+    df.filter(q.getField("n_tokens").between(minTokens, maxTokens) &&
+      q.getField("punct_ratio") <= maxPunctRatio &&
+      q.getField("stopword_ratio") >= minStopwordRatio &&
+      q.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
   }
 }

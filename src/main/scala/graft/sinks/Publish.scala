@@ -178,10 +178,24 @@ object Publish {
       .sortBy(_._1)
     val incomingPaths = incoming.map(_._1).toSet
     val emittedDirs = incoming.map { case (p, _) => parentOf(p) }.toSet
+    // a file is stale when it lives ANYWHERE under a directory this run
+    // re-emitted (a layout that changed nesting depth must not leave the
+    // old copies published forever). The repo root ("") only matches as a
+    // DIRECT parent — a root-level emitted file must not turn the whole
+    // repo into a sweep scope.
+    def underEmitted(rel: String): Boolean = {
+      var d = parentOf(rel)
+      if (emittedDirs.contains(d)) return true
+      while (d.nonEmpty) {
+        d = parentOf(d)
+        if (d.nonEmpty && emittedDirs.contains(d)) return true
+      }
+      false
+    }
     val head = readHead(repo)
     val carried = head.map(_.manifest).getOrElse(Map.empty)
       .filterNot { case (p, _) =>
-        incomingPaths(p) || emittedDirs(parentOf(p)) || excluded(p) }
+        incomingPaths(p) || underEmitted(p) || excluded(p) }
       .toSeq
     val files = (carried ++ incoming).sortBy(_._1)
     val tree = sha(files.map { case (p, h) => s"$p $h\n" }: _*)
@@ -236,7 +250,7 @@ object Publish {
         .filter { p =>
           val rel = repo.relativize(p)
           !protectedHidden(rel) &&
-            emittedDirs.contains(parentOf(rel.toString.replace('\\', '/'))) &&
+            underEmitted(rel.toString.replace('\\', '/')) &&
             !keep.contains(p.normalize)
         }
         .forEach(p => { java.nio.file.Files.delete(p); () })

@@ -187,6 +187,24 @@ class CrawlSpec extends SparkSuite {
     assert(resumed.posts.filter(col("site_id") === "biz.ssu.ac.kr").count() === 0)
   }
 
+  test("snapshot time travel: every committed version stays readable; CURRENT tracks the latest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-tt").toString
+    Crawl.run(spark, cfg.copy(snapshotDir = Some(dir)))
+    val vs = Snapshots.versions(dir)
+    assert(vs.size >= 2, s"expected >=2 wave snapshots, got $vs")
+    assert(Snapshots.currentVersion(dir) === Some(vs.max))
+    // posts grow monotonically wave over wave; a reader pinned to an OLD
+    // version must keep seeing the old (smaller) state after later commits
+    val counts = vs.map(v => Snapshots.read(spark, dir, "posts", Some(v)).count())
+    assert(counts === counts.sorted, s"posts must accumulate: $counts")
+    assert(counts.last > counts.head)
+    assert(Snapshots.read(spark, dir, "posts").count() === counts.last) // CURRENT
+    // an uncommitted version is rejected, not half-read
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir, "posts", Some(vs.max + 17))
+    }
+  }
+
   test("snapshot kill-and-resume reproduces the uninterrupted crawl exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
     // "killed" run: stops after wave 0, snapshot v0 persisted
