@@ -133,7 +133,14 @@ object Bench {
     //                              calibration >= quiet threshold — the
     //                              gate readable when the host is quiet)
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPEATS", "7").toInt
-    val quietThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_MEMBW", "0.8").toDouble
+    // Quiet band at 0.9, not 0.8: a SUSTAINED co-tenant load parks the
+    // membw ceiling just inside a 0.8 band and the crawl then honestly
+    // tracks that depressed ceiling (observed: probes at 0.81 bracketing a
+    // 0.62 pair with flat during-samples) — that is evidence about the
+    // HOST, not the engine. Only near-1.0-ceiling pairs feed
+    // best_quiet_pair_eff; after the per-pair nap budget the pair still
+    // RUNS and is reported non-quiet (no favorable stopping).
+    val quietThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_MEMBW", "0.9").toDouble
 
     // Each measurement runs in a FRESH JVM pinned to its core budget
     // (taskset + ActiveProcessorCount): `local[N]` in-process still runs
@@ -207,6 +214,83 @@ object Bench {
     val runsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long, Long), Long)]
     val burnsLow = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val burnsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+
+    // DURING-run noise sampler: the pre/post probes bracket a ~60 s pair
+    // with ~10 s of probing — a noise burst that arrives and leaves
+    // MID-CRAWL passes both probes and still corrupts the ratio (observed
+    // twice: bracketed-quiet pairs reading 0.64 and 0.30). While a worker
+    // runs, the orchestrator samples a single-thread fixed-work membw
+    // stream every 5 s (~1.5% duty — the sampler itself is too small to
+    // perturb the pinned worker). The crawl's own bandwidth use is the
+    // same for a given level every round, so comparing each level's
+    // during-run median ACROSS rounds isolates external noise: a round
+    // whose median exceeds the level's best-round median by more than the
+    // during-band got hit mid-pair and is not gate evidence. Still
+    // noise-gated sampling — the signal never reads the crawl's timing.
+    final class NoiseSampler {
+      private val words = 8 * 1024 * 1024 // 64 MB of longs
+      private val a = new Array[Long](words)
+      private val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      @volatile private var running = false
+      private var thread: Thread = null
+      private def once(): Double = {
+        val t0 = System.nanoTime()
+        var p = 0
+        while (p < 4) {
+          var i = 0
+          while (i < words) { a(i) = a(i) * 3L + 1L; i += 1 }
+          p += 1
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      def start(): Unit = {
+        samples.clear(); running = true
+        thread = new Thread(() => {
+          try while (running) {
+            val s = once()
+            samples.synchronized { samples += s }
+            Thread.sleep(5000L)
+          } catch { case _: InterruptedException => () }
+        })
+        thread.setDaemon(true); thread.start()
+      }
+      /** Stop and return the median sample (NaN when none landed). */
+      def stopMedian(): Double = {
+        running = false; thread.interrupt(); thread.join()
+        val s = samples.synchronized { samples.toSeq }.sorted
+        if (s.isEmpty) Double.NaN else s(s.size / 2)
+      }
+    }
+    val duringBand = sys.env.getOrElse("SPARK_GRAFT_BENCH_DURING_BAND", "1.2").toDouble
+    val pairQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val duringLow = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val duringHigh = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val prePostQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def sampled(cpus: Int, warm: Boolean, into: scala.collection.mutable.ArrayBuffer[Double])
+        : (Double, (Long, Long, Long, Long), Long) = {
+      if (!pin) { val r = timedRun(cpus, warm); into += Double.NaN; return r }
+      System.gc() // minimize the orchestrator's own bus traffic first
+      val sampler = new NoiseSampler
+      sampler.start()
+      try { val r = timedRun(cpus, warm); r } finally { into += sampler.stopMedian() }
+    }
+    // a later, quieter round can lower a level's baseline and retroactively
+    // reveal an earlier pair as mid-pair-noisy — recompute the quiet labels
+    // from scratch after every round
+    def recomputeQuiet(): Unit = {
+      val ok = duringLow.filterNot(_.isNaN)
+      val bl = if (ok.isEmpty) Double.NaN else ok.min
+      val okH = duringHigh.filterNot(_.isNaN)
+      val bh = if (okH.isEmpty) Double.NaN else okH.min
+      var i = 0
+      while (i < pairQuiet.size) {
+        val durOk =
+          (duringLow(i).isNaN || duringLow(i) <= bl * duringBand) &&
+            (duringHigh(i).isNaN || duringHigh(i) <= bh * duringBand)
+        pairQuiet(i) = prePostQuiet(i) && durOk
+        i += 1
+      }
+    }
     // maxRounds=0: query-iteration mode — skip the scaling phase entirely
     if (maxRounds == 0) {
       val qs0 = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -232,7 +316,6 @@ object Bench {
     val wallBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "1320").toLong
     val phaseStart = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - phaseStart) / 1000000000L
-    val pairQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val postMembw = scala.collection.mutable.ArrayBuffer.empty[Double]
     def inBand(r: Double): Boolean = r >= quietThreshold && r <= 1.0 / quietThreshold
     // a post-pair probe doubles as the next pair's pre-probe when it was
@@ -272,10 +355,10 @@ object Bench {
         preQuiet = inBand(bl._2 / bh._2)
         burnsLow += bl; burnsHigh += bh
       }
-      val rl = timedRun(cpusLow, warm = round == 0)
+      val rl = sampled(cpusLow, warm = round == 0, duringLow)
       System.err.println(f"[bench] local[$cpusLow] round${round + 1}: ${rl._1}%.2fs")
       runsLow += rl
-      val rh = timedRun(cpusHigh, warm = round == 0)
+      val rh = sampled(cpusHigh, warm = round == 0, duringHigh)
       runsHigh += rh
       // POST-pair probe: noise that arrived mid-pair corrupts the crawl
       // ratio even when the pre-probe was quiet (observed: a 0.88-membw
@@ -301,11 +384,13 @@ object Bench {
         carriedProbe = if (postQuiet) Some((pl, ph)) else None
       }
       // no calibration probes ran without pinning — never claim quiet
-      val quiet = quietGating && preQuiet && postQuiet
+      prePostQuiet += (quietGating && preQuiet && postQuiet)
+      pairQuiet += false // placeholder; recomputed below with during-run data
+      recomputeQuiet()
       System.err.println(f"[bench] local[$cpusHigh] round${round + 1}: ${rh._1}%.2fs" +
         f" (pair efficiency: ${(rl._1 / rh._1) / (cpusHigh.toDouble / cpusLow)}%.3f," +
-        s" quiet: $quiet [pre=$preQuiet post=$postQuiet])")
-      pairQuiet += quiet
+        s" quiet: ${pairQuiet.last} [pre=$preQuiet post=$postQuiet" +
+        f" durLow=${duringLow.last}%.3f durHigh=${duringHigh.last}%.3f])")
       round += 1
     }
     require((runsLow ++ runsHigh).map(_._2).distinct.size == 1,
@@ -373,6 +458,9 @@ object Bench {
             s""""pair_eff_normalized":${pairNorm.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
             f""""pair_eff_normalized_best":${pairNorm.max}%.3f,""" +
             f""""quiet_membw_threshold":$quietThreshold%.2f,""" +
+            s""""during_low_sec":${duringLow.map(d => if (d.isNaN) "null" else f"$d%.3f").mkString("[", ",", "]")},""" +
+            s""""during_high_sec":${duringHigh.map(d => if (d.isNaN) "null" else f"$d%.3f").mkString("[", ",", "]")},""" +
+            f""""during_band":$duringBand%.2f,""" +
             bestQuiet.map(q => f""""best_quiet_pair_eff":$q%.3f,""").getOrElse(
               s""""best_quiet_pair_eff":null,""")
          else "") +

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Merge, Similarity, Spans, TextAnalysis}
+import graft.operators.{Dedup, Merge, Sessions, Similarity, Spans, TextAnalysis}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -168,6 +168,12 @@ object SparkEntry {
           round(sum(col("value")).over(w), 6).as("running_value"))
     },
 
+    // ---- gap-based sessionization: the user-activity rollup (one
+    // shuffle on user_id shared by the lag window, the session-id
+    // cumulative sum, and the per-session aggregate) ----
+    "q55_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(t(s, dir, "events"))),
+
     // ---- scalar kernels over synthesized columns ----
     "q14_url_canonicalize" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), GraftFunctions.url_canonicalize(
@@ -283,6 +289,14 @@ object SparkEntry {
     "q54_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(t(s, dir, "documents"), "text")
         .select(col("doc_id"))),
+
+    // ---- vocabulary + n-gram language-model counts (tokenizer-training
+    // precursors; map-side partial aggregation bounds hot tokens) ----
+    "q56_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", minDf = 5L)),
+
+    "q57_ngram_counts" -> ((s, dir) =>
+      TextAnalysis.ngramCounts(t(s, dir, "documents"), "text", n = 2, minCount = 5L)),
 
     // ---- similarity search ----
     "q29_ann_brute" -> { (s, dir) =>
@@ -597,6 +611,23 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
         |FROM events""".stripMargin,
 
+    "q55_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
     "q14_url_canonicalize" ->
       """SELECT doc_id, 'http://board.ssu.ac.kr/bbs/list.php?a=1&z=' || CAST(doc_id AS VARCHAR)
         |  AS canon FROM documents""".stripMargin,
@@ -774,6 +805,20 @@ object SparkEntry {
     "q31_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |  x -> len(x) > 0)) AS INTEGER) AS n_tokens FROM documents""".stripMargin,
+
+    "q56_vocab" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS token FROM documents)
+        |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5""".stripMargin,
+
+    "q57_ngram_counts" ->
+      """SELECT ngram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> len(x) > 0) AS t FROM documents)
+        |  WHERE len(t) >= 2)
+        |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
 
     "q32_quality" ->
       """WITH base AS (SELECT doc_id, text,

@@ -88,6 +88,24 @@ object Snapshots {
     readTable(spark, dir, v, table)
   }
 
+  /**
+   * Incremental changefeed between two committed versions: the rows of
+   * `table` present at `toV` but absent at `fromV`, keyed by `keyCols`
+   * (the Iceberg incremental-read shape — a consumer that processed
+   * version `fromV` reads ONLY the delta, never the accumulated state).
+   * Both sides shuffle on the key columns only when neither fits in a
+   * broadcast; the usual daemon delta (one crawl batch against deep
+   * history) broadcasts the small side automatically.
+   */
+  def changes(spark: SparkSession, dir: String, table: String,
+      fromV: Int, toV: Int, keyCols: Seq[String]): DataFrame = {
+    require(fromV <= toV, s"changefeed range must be ordered: v$fromV..v$toV")
+    require(keyCols.nonEmpty, "changefeed needs at least one key column")
+    val to = read(spark, dir, table, Some(toV))
+    if (fromV == toV) to.limit(0)
+    else to.join(read(spark, dir, table, Some(fromV)), keyCols, "left_anti")
+  }
+
   private def readTable(spark: SparkSession, dir: String, v: Int, name: String): DataFrame =
     spark.read.parquet(Paths.get(dir, "snapshots", s"v$v", name).toString)
 

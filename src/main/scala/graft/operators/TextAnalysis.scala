@@ -71,6 +71,45 @@ object TextAnalysis {
   def docFingerprint(text: Column): Column = Dedup.fingerprint(text)
 
   /**
+   * Vocabulary build: term frequency + document frequency per whitespace
+   * token, cut at a minimum document frequency (the tokenizer-training /
+   * feature-hashing precursor table).
+   *
+   * Scale: explode → aggregate keyed by token. Partial (map-side)
+   * aggregation collapses hot tokens ("the") to one row per map task
+   * before the shuffle, so the exchange carries at most
+   * |vocab| × partitions rows regardless of corpus size; the df side is
+   * Spark's standard two-phase distinct-aggregate expansion on the same
+   * key. No driver-side state — the vocab itself stays distributed.
+   */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 2L): DataFrame =
+    df.select(col(idCol).as("_doc"), explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("_doc")).as("df"))
+      .filter(col("df") >= minDf)
+
+  /**
+   * Adjacent-token n-gram counts (the language-model / contamination-check
+   * table). Grams are built per row inside codegen (no positional
+   * self-join — the classic RDD formulation shuffles the corpus once per
+   * gram position; this shuffles only the aggregated gram counts).
+   */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int = 2,
+      minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = Dedup.tokens(col(textCol))
+    // sequence(a, b) runs DESCENDING when b < a — guard short docs before
+    // building index lists
+    val grams = transform(sequence(lit(0), size(toks) - n), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    df.select(explode(when(size(toks) >= n, grams)
+        .otherwise(array().cast("array<string>"))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /**
    * The composed quality FILTER a training-data pipeline actually runs:
    * keep documents inside the token-count / punctuation / word-shape
    * envelope (fasttext-style cheap gates). One streaming pass — the

@@ -174,6 +174,14 @@ object ApiDrive {
     println(s"embedding dedup: ${emb001.count} -> ${embKept.count}; " +
       s"quality gate: ${docs001.count} -> ${quality.count}")
 
+    // 13d. Sessionization + vocabulary + bigram LM counts
+    val events001 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val sessions = graft.operators.Sessions.sessionize(events001)
+    val vocab = graft.operators.TextAnalysis.vocabulary(docs001, "doc_id", "text", minDf = 3L)
+    val bigrams = graft.operators.TextAnalysis.ngramCounts(docs001, "text", 2, minCount = 3L)
+    println(s"sessions: ${events001.count} events -> ${sessions.count} sessions; " +
+      s"vocab >=3df: ${vocab.count}; bigrams >=3: ${bigrams.count}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",

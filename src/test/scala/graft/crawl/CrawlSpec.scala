@@ -205,6 +205,27 @@ class CrawlSpec extends SparkSuite {
     }
   }
 
+  test("snapshot changefeed: v(i)->v(j) delta is exactly the posts added between them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-cdc").toString
+    Crawl.run(spark, cfg.copy(snapshotDir = Some(dir)))
+    val vs = Snapshots.versions(dir)
+    assert(vs.size >= 2)
+    val (v0, vN) = (vs.head, vs.last)
+    val key = Seq("site_id", "id")
+    val delta = Snapshots.changes(spark, dir, "posts", v0, vN, key)
+    val all = Snapshots.read(spark, dir, "posts", Some(vN))
+    val base = Snapshots.read(spark, dir, "posts", Some(v0))
+    // delta + base == all, and the delta never overlaps the base
+    assert(delta.count() === all.count() - base.count())
+    assert(delta.join(base, key, "left_semi").count() === 0)
+    // empty range -> empty delta, same schema
+    val none = Snapshots.changes(spark, dir, "posts", vN, vN, key)
+    assert(none.count() === 0 && none.schema === all.schema)
+    intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, dir, "posts", vN, v0, key)
+    }
+  }
+
   test("snapshot kill-and-resume reproduces the uninterrupted crawl exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
     // "killed" run: stops after wave 0, snapshot v0 persisted
