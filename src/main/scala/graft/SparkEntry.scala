@@ -448,6 +448,50 @@ object SparkEntry {
       r.posts.groupBy("site_id").agg(count(lit(1)).as("n_posts"))
     },
 
+    // ---- streaming sessionization: the q55 semantics over a REAL
+    // Structured Streaming run (file source, one file per micro-batch,
+    // flatMapGroupsWithState + event-time timeout). A far-future sentinel
+    // user in the two trailing files advances the watermark so every real
+    // session times out and emits (the watermark lags one trigger).
+    // Streamed == batch parity is additionally asserted in
+    // StreamingSessionsSpec on arbitrary slicings. ----
+    "q58_streaming_sessions" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.{SessEvent, StreamingSessions}
+      val slice = t(s, dir, "events").orderBy("ts", "event_id").limit(200)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("value")).as[SessEvent].collect()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ssess-q").toString
+      // one parquet dir per intended micro-batch; mtimes staggered so the
+      // file source's (timestamp, path) order replays chronologically
+      def stamp(dir: String, order: Int): Unit = {
+        val t = java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 60000L)
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach(p =>
+          java.nio.file.Files.setLastModifiedTime(p, t))
+      }
+      slice.grouped(67).zipWithIndex.foreach { case (c, i) =>
+        s.createDataset(c.toIndexedSeq).repartition(1)
+          .write.parquet(s"$tmp/in/b$i.parquet")
+        stamp(s"$tmp/in/b$i.parquet", i) }
+      val lastMs = slice.map(_.ts.getTime).max
+      (0 until 2).foreach { k =>
+        s.createDataset(Seq(SessEvent(-1L,
+          new Timestamp(lastMs + (k + 1) * 7200L * 1000L), 0L, 0.0)))
+          .repartition(1).write.parquet(s"$tmp/in/z$k.parquet")
+        stamp(s"$tmp/in/z$k.parquet", 100 + k) }
+      val in = s.readStream.schema(s.read.parquet(s"$tmp/in/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("value")).as[SessEvent]
+      val sink = s"q58_sessions_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = StreamingSessions.sessionize(in)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).filter(col("user_id") =!= -1L)
+    },
+
     // ---- calendar path: year-page parse (P14) -> replace-in-range ->
     // ICS render with DTEND (K3/M3/M4) ----
     "q44_calendar" -> { (s, _) =>
@@ -618,6 +662,30 @@ object SparkEntry {
         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // the STREAMING path gets a value-exact oracle too: its input is the
+    // deterministic 200-row slice, so DuckDB can replay the same
+    // sessionization the stream emits (parity streamed==batch is the
+    // operator's own spec; this makes it driver-visible)
+    "q58_streaming_sessions" ->
+      """WITH input AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  ORDER BY ts, event_id LIMIT 200
+        |), g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM input WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
