@@ -164,7 +164,13 @@ object Bench {
     def spawnPinned(cpus: Int, marker: String, workerArgs: Seq[String]): Array[String] = {
       val cmd = Seq("taskset", "-c", s"0-${cpus - 1}",
         s"${sys.props("java.home")}/bin/java") ++ addOpens ++ Seq(
-        s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "32g")}",
+        // 16g, not 32g: the 1M-scale crawl runs comfortably in 16g, and a
+        // worker's EXIT is itself a host-level event — freeing a 32 GB heap
+        // + tmpfs shuffle dirs produces a reclaim burst that lands on the
+        // immediately-following high-side run (observed as quiet-pre /
+        // depressed-pair / noisy-post signatures). Half the heap, half the
+        // teardown.
+        s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "16g")}",
         s"-XX:ActiveProcessorCount=$cpus",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"),
@@ -358,6 +364,22 @@ object Bench {
       val rl = sampled(cpusLow, warm = round == 0, duringLow)
       System.err.println(f"[bench] local[$cpusLow] round${round + 1}: ${rl._1}%.2fs")
       runsLow += rl
+      // MID-pair settle + probe: the low-side worker's exit frees its heap
+      // and tmpfs shuffle dirs, and that reclaim burst would land exactly
+      // on the high-side run (quiet-pre / depressed-pair / noisy-post
+      // signature). Settle it out, then verify the bus is actually quiet
+      // before the high run; a failed mid-probe marks the pair non-quiet.
+      var midQuiet = true
+      if (pin) {
+        Thread.sleep(8000L)
+        var ml = burnRun(cpusLow); var mh = burnRun(cpusHigh)
+        if (!inBand(ml._2 / mh._2)) {
+          Thread.sleep(10000L)
+          ml = burnRun(cpusLow); mh = burnRun(cpusHigh)
+        }
+        midQuiet = inBand(ml._2 / mh._2)
+        System.err.println(f"[bench] mid-pair membw ${ml._2 / mh._2}%.2f (quiet: $midQuiet)")
+      }
       val rh = sampled(cpusHigh, warm = round == 0, duringHigh)
       runsHigh += rh
       // POST-pair probe: noise that arrived mid-pair corrupts the crawl
@@ -384,7 +406,7 @@ object Bench {
         carriedProbe = if (postQuiet) Some((pl, ph)) else None
       }
       // no calibration probes ran without pinning — never claim quiet
-      prePostQuiet += (quietGating && preQuiet && postQuiet)
+      prePostQuiet += (quietGating && preQuiet && midQuiet && postQuiet)
       pairQuiet += false // placeholder; recomputed below with during-run data
       recomputeQuiet()
       System.err.println(f"[bench] local[$cpusHigh] round${round + 1}: ${rh._1}%.2fs" +

@@ -174,6 +174,14 @@ object SparkEntry {
     "q55_sessionize" -> ((s, dir) =>
       Sessions.sessionize(t(s, dir, "events"))),
 
+    // ---- exact percentile stats (interpolated; single partial-aggregable
+    // pass — Spark's percentile agg holds one counts-map per group) ----
+    "q59_percentiles" -> ((s, dir) => t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+
     // ---- scalar kernels over synthesized columns ----
     "q14_url_canonicalize" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), GraftFunctions.url_canonicalize(
@@ -671,6 +679,13 @@ object SparkEntry {
         |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q59_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
 
     // the STREAMING path gets a value-exact oracle too: its input is the
     // deterministic 200-row slice, so DuckDB can replay the same
