@@ -391,7 +391,7 @@ object Bench {
       var postQuiet = true
       if (pin) {
         // settle before probing: the high-side worker JVM just exited, and
-        // its teardown (32 GB heap release + tmpfs shuffle-dir reclaim) is
+        // its teardown (16 GiB heap release + tmpfs shuffle-dir reclaim) is
         // itself a memory-bandwidth burst — probing into it reads OUR OWN
         // cleanup as "host noise" (observed: 7/7 post probes low while 4/7
         // pre probes were quiet). One settled re-probe disambiguates.

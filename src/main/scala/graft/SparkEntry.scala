@@ -474,8 +474,9 @@ object SparkEntry {
       // file source's (timestamp, path) order replays chronologically
       def stamp(dir: String, order: Int): Unit = {
         val t = java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 60000L)
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach(p =>
-          java.nio.file.Files.setLastModifiedTime(p, t))
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try walk.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+        finally walk.close()
       }
       slice.grouped(67).zipWithIndex.foreach { case (c, i) =>
         s.createDataset(c.toIndexedSeq).repartition(1)

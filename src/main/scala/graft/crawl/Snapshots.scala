@@ -41,7 +41,13 @@ object Snapshots {
     val fails = node.putObject("failed_sites")
     failures.toSeq.sortBy(_._1).foreach { case (s, m) => fails.put(s, m) }
     Files.createDirectories(vdir)
-    Files.writeString(vdir.resolve("manifest.json"), node.toPrettyString)
+    // the manifest's EXISTENCE is the version's commit marker (versions()/
+    // read() key on it), so it must appear atomically: tmp + ATOMIC_MOVE,
+    // never a direct write a crash could tear into a half-committed version
+    val mtmp = vdir.resolve(".manifest.tmp")
+    Files.writeString(mtmp, node.toPrettyString)
+    Files.move(mtmp, vdir.resolve("manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // atomic CURRENT pointer swap
     val tmp = Paths.get(dir, "snapshots", s".CURRENT.tmp$wave")
     Files.writeString(tmp, s"v$wave")

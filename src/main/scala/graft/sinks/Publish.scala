@@ -179,10 +179,15 @@ object Publish {
     val incomingPaths = incoming.map(_._1).toSet
     val emittedDirs = incoming.map { case (p, _) => parentOf(p) }.toSet
     // a file is stale when it lives ANYWHERE under a directory this run
-    // re-emitted (a layout that changed nesting depth must not leave the
-    // old copies published forever). The repo root ("") only matches as a
-    // DIRECT parent — a root-level emitted file must not turn the whole
-    // repo into a sweep scope.
+    // re-emitted, so a layout that got SHALLOWER sweeps its old deeper
+    // copies. The converse (layout got DEEPER: run 2 emits sites/a/sub/*
+    // while sites/a/data.json was published before) deliberately RETAINS
+    // the old file: sweeping an ancestor directory because one subtree
+    // under it was re-emitted would delete sibling sites' last-good
+    // outputs — the additive cp-rv bias (reference daemon.yml) wins over
+    // tidiness, matching the failed-plugin-keeps-last-good contract. The
+    // repo root ("") only matches as a DIRECT parent — a root-level
+    // emitted file must not turn the whole repo into a sweep scope.
     def underEmitted(rel: String): Boolean = {
       var d = parentOf(rel)
       if (emittedDirs.contains(d)) return true

@@ -78,10 +78,17 @@ object StreamingSessions {
             val closed = Seq.newBuilder[SessionOut]
             evs.foreach { e =>
               val us = micros(e.ts)
-              val cents = math.round(e.value * 100)
+              // HALF_UP like Spark's round() in the batch operator —
+              // math.round is half-toward-+inf and diverges on negative
+              // half-cents (-12.5 -> -12 instead of -13)
+              val cents = java.math.BigDecimal.valueOf(e.value * 100)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
               open match {
                 case Some(s) if us - s.endUs <= gapUs =>
-                  open = Some(s.copy(endUs = math.max(s.endUs, us), n = s.n + 1,
+                  // a late-but-within-watermark event can precede the open
+                  // session's start — min() it, or the merged session lies
+                  open = Some(s.copy(startUs = math.min(s.startUs, us),
+                    endUs = math.max(s.endUs, us), n = s.n + 1,
                     cents = s.cents + cents))
                 case Some(s) =>
                   closed += SessionOut(user, s.sessionId, s.n, s.startUs, s.endUs, s.cents)

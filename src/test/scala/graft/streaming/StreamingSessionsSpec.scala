@@ -57,6 +57,44 @@ class StreamingSessionsSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("late-but-within-watermark event merges into the open session and can LOWER its start") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-sess3").toString
+    val stream = MemoryStream[SessEvent]
+    val q = StreamingSessions.sessionize(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_late").option("checkpointLocation", s"$dir/cp")
+      .start()
+    def ev(id: Long, t: String, v: Double) = SessEvent(7L, Timestamp.valueOf(t), id, v)
+    stream.addData(ev(2, "2024-01-01 10:10:00", 1.0)) // opens the session
+    q.processAllAvailable()
+    // watermark after batch 1 = 10:10 - 30min = 09:40; a 10:00 event is
+    // late but above watermark and within the gap: it must merge AND pull
+    // start_us back, plus a NEGATIVE half-cent value must round like the
+    // batch operator (HALF_UP: -0.125 -> -13 cents with the +100)
+    stream.addData(ev(1, "2024-01-01 10:00:00", -0.125))
+    q.processAllAvailable()
+    Seq(1, 2).foreach { k =>
+      stream.addData(SessEvent(Flusher,
+        Timestamp.valueOf(s"2024-01-01 ${13 + k}:00:00"), 0L, 0.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("sessions_late").filter(col("user_id") =!= Flusher)
+      .select("session_id", "n_events", "start_us", "end_us", "value_cents")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val us = (t: String) => Timestamp.valueOf(t).getTime * 1000L
+    assert(rows === Seq((1L, 2L, us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"), 87L)))
+    // 87 = 100 + (-13): HALF_UP away from zero, matching Spark round()
+    import graft.operators.Sessions
+    val batchCents = Sessions.sessionize(
+      Seq((1L, 7L, Timestamp.valueOf("2024-01-01 10:00:00"), -0.125),
+        (2L, 7L, Timestamp.valueOf("2024-01-01 10:10:00"), 1.0))
+        .toDF("event_id", "user_id", "ts", "value"))
+      .select("value_cents").as[Long].collect()
+    assert(batchCents === Seq(87L))
+  }
+
   test("a gap split emits immediately in-stream; state does not buffer events") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft-stream-sess2").toString
