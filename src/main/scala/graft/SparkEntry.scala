@@ -285,6 +285,16 @@ object SparkEntry {
     "q28_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)),
 
+    // ---- decontamination: directed containment of a probe set (every
+    // 17th doc as the stand-in benchmark) against the corpus; the probe's
+    // shingles broadcast, the corpus never shuffles before the pair agg ----
+    "q60_containment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.containmentPairs(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+        3, 0.5, maxShingleFreq = 20L)
+    },
+
     // ---- the COMPOSED embedding-dedup pipeline: corpus -> exact cosine
     // pairs (block tiles) -> clusters -> keep one per cluster ----
     "q53_embedding_dedup" -> ((s, dir) =>
@@ -782,6 +792,24 @@ object SparkEntry {
         |SELECT doc_id, fingerprint,
         |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1 AS keep
         |FROM fp""".stripMargin,
+
+    "q60_containment" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 0) + 1),
+        |  i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+        |cf AS (SELECT doc_id, s FROM sh
+        |  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20)),
+        |pf AS (SELECT doc_id, s FROM cf WHERE doc_id % 17 = 0),
+        |np AS (SELECT doc_id, count(*) AS n FROM pf GROUP BY 1),
+        |inter AS (SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id, count(*) AS i
+        |  FROM cf c JOIN pf p USING (s) WHERE c.doc_id <> p.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, corpus_id, round(i * 1.0 / np.n, 6) AS containment
+        |FROM inter JOIN np ON probe_id = np.doc_id
+        |WHERE i * 1.0 / np.n >= 0.5""".stripMargin,
 
     "q26_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,

@@ -126,6 +126,50 @@ object Dedup {
     graft.functions.GraftFunctions.shingle_hash64(text, n)
 
   /**
+   * Directed n-gram CONTAINMENT pairs — the decontamination primitive:
+   * for each probe document (benchmark/eval item), every corpus document
+   * holding at least `threshold` of the probe's shingles,
+   * containment = |probe ∩ corpus| / |probe|. Asymmetric on purpose: a
+   * short eval item quoted inside a long training document scores ~1.0
+   * here while its Jaccard vs the long doc is ~0 — the case
+   * [[ngramJaccardPairs]] structurally cannot catch.
+   *
+   * Scale shape (the decontamination deployment: corpus >> probe): with
+   * `broadcastProbe` on (default), the probe's hashed shingles ride to
+   * every executor and the CORPUS SIDE NEVER SHUFFLES before the pair
+   * aggregation — one corpus scan, map-side hash join, then a shuffle of
+   * matched (corpus_id, probe_id) pairs only. The df-cut (same hot-shingle
+   * guard as q26, applied to BOTH sides and to the probe denominator)
+   * keeps boilerplate shingles from manufacturing evidence AND from
+   * fanning out the join. Self-pairs are excluded so a probe drawn from
+   * the corpus itself never reports its own row.
+   */
+  def containmentPairs(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      probe: DataFrame, probeId: String, probeText: String,
+      n: Int, threshold: Double, maxShingleFreq: Long = 0L,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val ch = corpus.select(col(corpusId).as("corpus_id"),
+      explode(shingleHashes(col(corpusText), n)).as("shingle_h"))
+    val hot = ch.groupBy("shingle_h").count()
+      .filter(col("count") > (if (maxShingleFreq <= 0) Long.MaxValue else maxShingleFreq))
+      .select("shingle_h")
+    val cf = ch.join(broadcast(hot), Seq("shingle_h"), "left_anti")
+    val pf0 = probe.select(col(probeId).as("probe_id"),
+      explode(shingleHashes(col(probeText), n)).as("shingle_h"))
+      .join(broadcast(hot), Seq("shingle_h"), "left_anti")
+    val pf = if (broadcastProbe) broadcast(pf0) else pf0
+    val np = pf0.groupBy("probe_id").agg(count(lit(1)).as("np"))
+    val inter = cf.join(pf, Seq("shingle_h"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .groupBy("probe_id", "corpus_id").agg(count(lit(1)).as("inter"))
+    inter.join(broadcast(np), Seq("probe_id"))
+      .withColumn("containment", col("inter").cast("double") / col("np"))
+      .filter(col("containment") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), round(col("containment"), 6).as("containment"))
+  }
+
+  /**
    * MinHash + LSH candidate generation and verification:
    *  1. signature (numBands * rowsPerBand mixers);
    *  2. band hashes -> bucket join (same band+hash => candidate pair);

@@ -140,6 +140,22 @@ class PlanAuditSpec extends SparkSuite {
       s"touched slice must partition-prune:\n${tPlan.take(1200)}")
   }
 
+  test("containment (q60): probe broadcasts, the corpus side never sort-merge-joins") {
+    val plan = planOf("q60_containment")
+    // probe shingles + df-cut + denominator all ride as broadcasts: the
+    // corpus scan flows map-side into the intersection join, and the only
+    // exchanges left are the pair/size aggregations
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus side must not sort-merge-join:\n" + plan.take(1200))
+  }
+
+  test("sessionize (q55): one exchange feeds lag, session ids, and the session aggregate") {
+    val plan = planOf("q55_sessionize")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n === 1, s"expected a single user_id exchange, got $n:\n" + plan.take(1200))
+  }
+
   test("merge join keys: the MERGE shuffles on (site_id, id) exactly once per side (q04)") {
     val plan = planOf("q04_merge_upsert")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),

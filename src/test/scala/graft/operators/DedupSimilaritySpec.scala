@@ -276,4 +276,40 @@ class DedupSimilaritySpec extends SparkSuite {
     val media = spanRows.filter(col("kind") === "image")
     assert(media.count() === docs.count())
   }
+
+  test("containment catches short-probe-inside-long-doc that Jaccard misses; no self pairs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"), // long training doc
+      (2L, "c d e f"),                 // eval item quoted inside doc 1
+      (3L, "x y z w v u")              // unrelated
+    ).toDF("doc_id", "text")
+    val probe = docs.filter(col("doc_id") === 2L)
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      probe, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().sorted
+    // probe 2's two 3-gram shingles ("c d e", "d e f") both occur in doc 1
+    assert(cont === Seq((2L, 1L, 1.0)))
+    // the symmetric Jaccard on the same pair is 2/10 — invisible at 0.5
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    assert(jac.count() === 0)
+    // directionality: with the LONG doc as probe, containment is 2/10
+    val rev = Dedup.containmentPairs(docs, "doc_id", "text",
+      docs.filter(col("doc_id") === 1L), "doc_id", "text", 3, 0.1)
+      .as[(Long, Long, Double)].collect().sorted
+    assert(rev === Seq((1L, 2L, 0.2)))
+  }
+
+  test("containment df-cut drops hot boilerplate shingles from evidence AND denominator") {
+    // shingle "the same line" appears in > maxShingleFreq docs -> cut; the
+    // probe keeps only its informative shingle, still fully contained
+    val boiler = (10L to 14L).map(i => (i, "the same line every time"))
+    val docs = (boiler ++ Seq(
+      (1L, "unique alpha beta gamma the same line every time"),
+      (2L, "unique alpha beta gamma"))).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      docs.filter(col("doc_id") === 2L), "doc_id", "text",
+      3, 0.99, maxShingleFreq = 4L)
+      .as[(Long, Long, Double)].collect().sorted
+    assert(out === Seq((2L, 1L, 1.0)))
+  }
 }
