@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Merge, Sessions, Similarity, Spans, TextAnalysis}
+import graft.operators.{Dedup, Merge, Sampling, Sessions, Similarity, Spans, TemporalJoins, TextAnalysis}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -511,6 +511,46 @@ object SparkEntry {
       s.table(sink).filter(col("user_id") =!= -1L)
     },
 
+    // ---- as-of join: latest preceding click per purchase, same user
+    // (DuckDB ASOF LEFT JOIN oracle). Union + carry-forward window — ONE
+    // exchange on the key, no join node (TemporalJoinsSpec plan audit) ----
+    "q61_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      TemporalJoins.asofJoin(
+        ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", Seq("event_id", "value"), tieCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("r_event_id").as("click_id"), col("r_value").as("click_value"))
+    },
+
+    // ---- interval (range) join: clicks inside the 24 h window opened by
+    // each error, same user. Window-width time bins + equi-join on
+    // (key, bin), exact predicate re-checked — bounded 2x fan-out, no
+    // nested-loop join (TemporalJoinsSpec plan audit) ----
+    "q62_range_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      TemporalJoins.rangeJoinPairs(
+        ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts"),
+        "user_id", "ts",
+        ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts"),
+        "user_id", "ts", windowUs = 86400000000L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_matches"), min(col("r_event_id")).as("first_match"))
+    },
+
+    // ---- TF-IDF top terms per document (exact integer score — no ln()
+    // float parity risk) ----
+    "q63_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)),
+
+    // ---- deterministic stratified sample: 50 docs per language in
+    // md5-content order — layout/partitioning/engine independent ----
+    "q64_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "text",
+        n = 50, tieCol = "doc_id")
+        .select("doc_id", "lang", "source", "sample_rank")),
+
     // ---- calendar path: year-page parse (P14) -> replace-in-range ->
     // ICS render with DTEND (K3/M3/M4) ----
     "q44_calendar" -> { (s, _) =>
@@ -1007,6 +1047,57 @@ object SparkEntry {
         |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
         |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
         |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-        |  ELSE 'fr' END AS lang_pred FROM scores""".stripMargin
+        |  ELSE 'fr' END AS lang_pred FROM scores""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle; the right side is
+    // pre-deduped per (user_id, ts) keeping the greatest event_id — the
+    // same tie rule the union-window realizes via its ordering
+    "q61_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'
+        |), rd AS (
+        |  SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |  FROM r WHERE rn = 1
+        |), l AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.event_id, l.user_id, l.ts, rd.click_id, rd.click_value
+        |FROM l ASOF LEFT JOIN rd
+        |  ON l.user_id = rd.user_id AND l.ts >= rd.ts""".stripMargin,
+
+    "q62_range_join" ->
+      """SELECT e.event_id, count(*) AS n_matches, min(c.event_id) AS first_match
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id
+        | AND e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts AND epoch_us(c.ts) < epoch_us(e.ts) + 86400000000
+        |GROUP BY 1""".stripMargin,
+
+    "q63_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+        |), dfx AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, (t.tf * 1000000 * n.n) // d.df AS score
+        |  FROM tf t JOIN dfx d USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, score, rnk AS term_rank FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "q64_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, lang, source, rnk AS sample_rank FROM r WHERE rnk <= 50""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -130,5 +131,39 @@ object TextAnalysis {
       q.getField("punct_ratio") <= maxPunctRatio &&
       q.getField("stopword_ratio") >= minStopwordRatio &&
       q.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+  }
+
+  /**
+   * TF-IDF top terms per document — the keyword-extraction / feature table
+   * of a curation pipeline. The score is EXACT integer arithmetic,
+   * `(tf * 1_000_000 * N) div df` (monotone in tf·N/df), so the ranking is
+   * reproducible bit-for-bit across engines — no `ln()` float whose last
+   * ulp differs between libm implementations.
+   *
+   * Scale: one tokenize+explode pass feeds the (doc, term) tf aggregate
+   * (map-side partial combine bounds hot terms per task); the df table is
+   * derived FROM the staged tf table (the corpus is not re-tokenized) and
+   * is |vocab|-sized, so its join back is broadcastable in practice; the
+   * final top-k is a per-doc window over k·|docs| candidate rows. The tf
+   * stage is pinned with localCheckpoint so the two consumers (df-count
+   * and score join) share one computation instead of re-running the
+   * corpus scan.
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfx, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * 1000000 * n div df"))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select("doc_id", "term", "score", "term_rank")
   }
 }

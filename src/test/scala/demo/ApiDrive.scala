@@ -174,6 +174,12 @@ object ApiDrive {
     println(s"embedding dedup: ${emb001.count} -> ${embKept.count}; " +
       s"quality gate: ${docs001.count} -> ${quality.count}")
 
+    // 13c2. Decontamination: directed containment of a probe subset
+    val probe = docs001.filter(col("doc_id") % 17 === 0)
+    val contaminated = graft.operators.Dedup.containmentPairs(
+      docs001, "doc_id", "text", probe, "doc_id", "text", 3, 0.5, maxShingleFreq = 20L)
+    println(s"containment >=0.5: ${contaminated.count} probe-corpus pairs")
+
     // 13d. Sessionization + vocabulary + bigram LM counts
     val events001 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val sessions = graft.operators.Sessions.sessionize(events001)
@@ -181,6 +187,27 @@ object ApiDrive {
     val bigrams = graft.operators.TextAnalysis.ngramCounts(docs001, "text", 2, minCount = 3L)
     println(s"sessions: ${events001.count} events -> ${sessions.count} sessions; " +
       s"vocab >=3df: ${vocab.count}; bigrams >=3: ${bigrams.count}")
+
+    // 13e. Temporal joins: as-of (latest preceding click per purchase) and
+    // interval join (clicks within 24 h of an error, same user)
+    val purchases = events001.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events001.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val asof = graft.operators.TemporalJoins.asofJoin(
+      purchases, clicks, "user_id", "ts", Seq("event_id", "value"), "event_id")
+    val ranged = graft.operators.TemporalJoins.rangeJoinPairs(
+      events001.filter(col("event_type") === "error").select("event_id", "user_id", "ts"),
+      "user_id", "ts", clicks.drop("value"), "user_id", "ts", 86400000000L)
+    println(s"asof: ${asof.count} purchases (${asof.filter(col("r_event_id").isNotNull).count} " +
+      s"matched); range-join pairs: ${ranged.count}")
+
+    // 13f. TF-IDF keywords + deterministic sampling
+    val tfidf = graft.operators.TextAnalysis.tfidfTopTerms(docs001, "doc_id", "text", 3)
+    val strat = graft.operators.Sampling.stratifiedSample(docs001, "lang", "text", 5, "doc_id")
+    val gated = graft.operators.Sampling.hashSample(docs001, "text", "29")
+    println(s"tfidf top-3 rows: ${tfidf.count}; stratified 5/lang: ${strat.count}; " +
+      s"md5-gate <0x29: ${gated.count}")
 
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
