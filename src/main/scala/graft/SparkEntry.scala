@@ -551,6 +551,35 @@ object SparkEntry {
         n = 50, tieCol = "doc_id")
         .select("doc_id", "lang", "source", "sample_rank")),
 
+    // ---- cross-corpus SPAN dedup on the input_hint interleaved shape:
+    // paragraph-grained chunks, global first-occurrence winner per payload,
+    // one 8-byte-hash-keyed exchange ----
+    "q65_span_dedup" -> ((s, dir) =>
+      Spans.dedupSpans(Spans.chunkedSpanRows(t(s, dir, "documents"), chunkSize = 8))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text_kept"))),
+
+    // ---- Gopher-style repetition features (dup-token / top-token /
+    // dup-bigram fractions) ----
+    "q66_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- PII scrub over deterministically PII-injected text; the SAME
+    // RE2-subset regexes run in Spark codegen and in the DuckDB oracle ----
+    "q67_pii_scrub" -> { (s, dir) =>
+      val noisy = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or 02-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-1234"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@ssu.ac.kr")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.piiScrub(noisy).as("p"))
+        .select(col("doc_id"), col("p.clean_text").as("clean_text"),
+          col("p.n_emails").as("n_emails"), col("p.n_phones").as("n_phones"))
+    },
+
     // ---- calendar path: year-page parse (P14) -> replace-in-range ->
     // ICS render with DTEND (K3/M3/M4) ----
     "q44_calendar" -> { (s, _) =>
@@ -1098,6 +1127,76 @@ object SparkEntry {
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rnk
         |  FROM documents)
-        |SELECT doc_id, lang, source, rnk AS sample_rank FROM r WHERE rnk <= 50""".stripMargin
+        |SELECT doc_id, lang, source, rnk AS sample_rank FROM r WHERE rnk <= 50""".stripMargin,
+
+    "q65_span_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)), c -> c)) AS off,
+        |    unnest(list_transform(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+        |      c -> array_to_string(list_slice(t, c * 8 + 1, c * 8 + 8), ' '))) AS chunk
+        |  FROM base
+        |), ranked AS (
+        |  SELECT doc_id, off, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, off) AS rn
+        |  FROM chunks
+        |), kept AS (
+        |  SELECT doc_id, count(*) AS n_text_kept FROM ranked WHERE rn = 1 GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(k.n_text_kept, 0) + 1 AS n_kept,
+        |       coalesce(k.n_text_kept, 0) AS n_text_kept
+        |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    "q66_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+        |), ts AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct, max(c) AS top_c
+        |  FROM tc GROUP BY 1
+        |), bc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |    FROM toks) GROUP BY 1, 2
+        |), bs AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    count(*) AS n_distinct_bi FROM bc GROUP BY 1
+        |)
+        |SELECT ts.doc_id, ts.n_tokens,
+        |  round((ts.n_tokens - ts.n_distinct) / greatest(ts.n_tokens, 1), 6)
+        |    AS dup_token_frac,
+        |  round(ts.top_c / greatest(ts.n_tokens, 1), 6) AS top_token_frac,
+        |  round((coalesce(bs.n_bigrams, 0) - coalesce(bs.n_distinct_bi, 0))
+        |    / greatest(coalesce(bs.n_bigrams, 0), 1), 6) AS dup_bigram_frac
+        |FROM ts LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    "q67_pii_scrub" ->
+      """WITH noisy AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 02-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    '-1234' || CASE WHEN doc_id % 3 = 0
+        |      THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@ssu.ac.kr'
+        |      ELSE '' END AS t
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, t, regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS ne
+        |  FROM noisy
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(ne, '\b\d{2,3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(ne,
+        |    '\b\d{2,3}-\d{3,4}-\d{4}\b')) AS INTEGER) AS n_phones
+        |FROM e""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -98,4 +99,67 @@ object Spans {
       .agg(array_sort(collect_list(struct(col("offset"), col("text")))).as("_s"))
       .select(col("doc_id"),
         concat_ws(" ", transform(col("_s"), s => s.getField("text"))).as("text"))
+
+  /**
+   * Paragraph-grained decomposition: one text span per `chunkSize`-word
+   * slice (offset = chunk index) plus the trailing media span. This is the
+   * granularity cross-corpus span dedup actually runs at — word-level spans
+   * would dedup the vocabulary, chunk-level spans dedup repeated passages
+   * (the C4 "remove duplicated paragraphs" shape recast onto the
+   * input_hint span model). Pure per-row column arithmetic — no shuffle.
+   */
+  def chunkedSpanRows(documents: DataFrame, chunkSize: Int = 8): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val nChunks = ceil(size(toks).cast("double") / chunkSize).cast("int")
+    // sequence(a, b) runs DESCENDING when b < a — an empty doc must yield
+    // zero chunks, not a bogus [0, -1] index walk
+    val chunks = documents.select(col("doc_id"), col("source"),
+        posexplode(when(size(toks) > 0,
+          transform(sequence(lit(0), nChunks - 1),
+            c => concat_ws(" ", slice(toks, c * chunkSize + 1, lit(chunkSize)))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("offset", "chunk")))
+      .select(col("doc_id"), lit("text").as("kind"), col("chunk").as("text"),
+        lit(null).cast("string").as("media_ref"), col("offset").cast("int").as("offset"))
+    val media = documents.select(col("doc_id"), lit("image").as("kind"),
+      lit(null).cast("string").as("text"),
+      concat(lit("media://"), col("source"), lit("/"), col("doc_id")).as("media_ref"),
+      ceil(size(toks).cast("double") / chunkSize).cast("int").as("offset"))
+    chunks.unionByName(media)
+  }
+
+  /**
+   * Cross-corpus span dedup: keep the globally FIRST occurrence (by
+   * (doc_id, offset)) of each distinct span payload; later repeats are
+   * dropped. Identity is (kind, text|media_ref) — a repeated passage
+   * deduplicates across documents, a media span deduplicates on its ref.
+   * The C4/RefinedWeb duplicated-paragraph removal, on the interleaved
+   * span table.
+   *
+   * Scale: ONE hash-partitioned exchange. The window key is the 8-byte
+   * xxhash64 of the payload, never the payload string itself as a key
+   * (hash collision would merge two distinct spans ~never at 2^-64; the
+   * winner filter is still exact per (kind, payload) because rows ride
+   * whole). At 100 TB with fat spans, project to (hash, doc_id, offset)
+   * first and semi-join winners back (the exactDedup shape) to halve the
+   * shuffled bytes; for crawl-post spans (≤ a few hundred bytes) the
+   * single-exchange window is the cheaper plan.
+   */
+  def dedupSpans(spanRows: DataFrame): DataFrame = {
+    val payloadHash = xxhash64(col("kind"), coalesce(col("text"), col("media_ref")))
+    val w = Window.partitionBy(payloadHash)
+      .orderBy(col("doc_id"), col("offset"))
+    spanRows.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /**
+   * The composed corpus-in/corpus-out pipeline on the nested input_hint
+   * shape: explode -> dedup spans -> re-nest. Documents whose every span
+   * was a repeat disappear (their spans all lost); surviving docs keep
+   * their remaining spans in original offset order.
+   */
+  def dedupNestedSpans(docs: DataFrame): DataFrame =
+    nest(dedupSpans(explodeSpans(docs)))
 }

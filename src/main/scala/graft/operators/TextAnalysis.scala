@@ -149,6 +149,86 @@ object TextAnalysis {
    * and score join) share one computation instead of re-running the
    * corpus scan.
    */
+  /**
+   * Gopher-style repetition features per document: the duplicate-token
+   * fraction, the most-frequent-token share, and the duplicate-bigram
+   * fraction — the cheap detectors for degenerate/boilerplate text
+   * (Rae et al. 2021 §A.1.1 run these at line/paragraph/n-gram grain;
+   * the corpus here is single-line, so the token/bigram grain applies).
+   *
+   * Scale: explode -> aggregate keyed by (doc_id, token) with map-side
+   * partial combine, then a per-doc rollup — both exchanges are keyed by
+   * doc_id-led keys, so AQE coalesces them onto one partitioning; nothing
+   * is quadratic in document length (the naive per-row HOF mode
+   * computation is O(len·distinct) per row — fine at 100 tokens, wrong
+   * at 100 k-token documents).
+   */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val base = df.select(col(idCol).as("doc_id"), toks.as("_toks"))
+    val tokStats = base
+      .select(col("doc_id"), explode(col("_toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val grams = transform(sequence(lit(0), size(col("_toks")) - 2), i =>
+      concat_ws(" ", element_at(col("_toks"), i + 1), element_at(col("_toks"), i + 2)))
+    val biStats = base
+      .select(col("doc_id"), explode(when(size(col("_toks")) >= 2, grams)
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bi"))
+    tokStats.join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens"),
+        round((col("n_tokens") - col("n_distinct")).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_token_frac"),
+        round(col("top_c").cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("top_token_frac"),
+        round((coalesce(col("n_bigrams"), lit(0L)) - coalesce(col("n_distinct_bi"), lit(0L)))
+          .cast("double") / greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 6)
+          .as("dup_bigram_frac"))
+  }
+
+  /**
+   * Keep documents under the repetition thresholds (the Gopher filter
+   * composed over [[repetitionFeatures]]): the id-only projection joins
+   * back as a semi-join, so the corpus text crosses no exchange.
+   */
+  def repetitionFilter(df: DataFrame, idCol: String, textCol: String,
+      maxDupTokenFrac: Double = 0.6, maxTopTokenFrac: Double = 0.3,
+      maxDupBigramFrac: Double = 0.6): DataFrame = {
+    val keep = repetitionFeatures(df, idCol, textCol)
+      .filter(col("dup_token_frac") <= maxDupTokenFrac &&
+        col("top_token_frac") <= maxTopTokenFrac &&
+        col("dup_bigram_frac") <= maxDupBigramFrac)
+      .select(col("doc_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\b\\d{2,3}-\\d{3,4}-\\d{4}\\b"
+
+  /**
+   * PII scrubbing: redact email addresses and phone-shaped numbers,
+   * reporting per-document hit counts. Both patterns are deliberately in
+   * the RE2-compatible subset (no backrefs/lookaround), so the exact same
+   * regex strings run in Spark's codegen'd `regexp_replace`/`regexp_count`
+   * AND in the DuckDB oracle — one source of truth, engine-checked parity.
+   * Pure per-row column work: no shuffle, survives any scale the scan does.
+   */
+  def piiScrub(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    struct(
+      regexp_replace(noEmail, phoneRe, "<PHONE>").as("clean_text"),
+      regexp_count(text, lit(emailRe)).as("n_emails"),
+      regexp_count(noEmail, lit(phoneRe)).as("n_phones"))
+  }
+
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

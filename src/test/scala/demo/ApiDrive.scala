@@ -209,6 +209,20 @@ object ApiDrive {
     println(s"tfidf top-3 rows: ${tfidf.count}; stratified 5/lang: ${strat.count}; " +
       s"md5-gate <0x29: ${gated.count}")
 
+    // 13g. Span-grain cross-corpus dedup on the interleaved shape,
+    // repetition features/filter, PII scrub
+    val spanKept = graft.operators.Spans.dedupSpans(
+      graft.operators.Spans.chunkedSpanRows(docs001, chunkSize = 8))
+    val rep = graft.operators.TextAnalysis.repetitionFeatures(docs001, "doc_id", "text")
+    val repKept = graft.operators.TextAnalysis.repetitionFilter(docs001, "doc_id", "text")
+    val pii = docs001.select(graft.operators.TextAnalysis.piiScrub(
+      concat(col("text"), lit(" mail me: a"), col("doc_id").cast("string"),
+        lit("@x.io or 010-1234-5678"))).as("p"))
+    println(s"span dedup kept ${spanKept.count} spans; repetition rows ${rep.count} " +
+      s"(filter keeps ${repKept.count}); pii emails=" +
+      pii.selectExpr("sum(p.n_emails)").head.getLong(0) +
+      " phones=" + pii.selectExpr("sum(p.n_phones)").head.getLong(0))
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",
