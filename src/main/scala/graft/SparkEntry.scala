@@ -334,6 +334,15 @@ object SparkEntry {
         nlist = 8, nprobe = 3)
     },
 
+    // ---- PQ/ADC ANN; rerank >= |corpus| makes the exact re-rank total, so
+    // the full encode->ADC->re-rank pipeline must land exactly on the
+    // brute-force oracle (recall at practical rerank is spec-measured) ----
+    "q68_ann_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        m = 8, ksub = 16, rerank = 1000000)
+    },
+
     // ---- text analysis ----
     "q31_token_count" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
@@ -975,6 +984,15 @@ object SparkEntry {
         |  AND mean_word_len BETWEEN 2.0 AND 5.0""".stripMargin,
 
     "q29_ann_brute" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, rk, round(sim, 6) AS sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rk FROM scored) WHERE rk <= 5""".stripMargin,
+
+    "q68_ann_pq" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim

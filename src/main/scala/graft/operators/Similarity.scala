@@ -248,6 +248,117 @@ object Similarity {
       Dedup.nearDupClusters(nearDupPairs(corpus, idCol, vecCol, threshold, blocks)))
 
   /**
+   * Product-quantization ANN (the FAISS PQ/ADC shape): vectors are split
+   * into `m` subvectors; each subspace gets a `ksub`-centroid codebook
+   * (deterministic Lloyd on a bounded hash-order sample, all `m` subspaces
+   * trained in ONE distributed loop); the corpus is encoded to `m` small
+   * codes (+ its reconstructed norm) — at 100 TB the search index is
+   * m bytes/vector instead of 4·dim, the reason PQ exists. Serving is
+   * asymmetric distance computation: each query precomputes its m×ksub
+   * dot-product table ONCE, a candidate's approximate cosine is m table
+   * LOOKUPS (not dim multiplies); the approx top-`rerank` then re-rank
+   * EXACTLY through the cosine kernel against the raw vectors.
+   *
+   * Scale: training touches only the sample; encoding is one broadcast
+   * (codebook) pass over the corpus; serving shuffles only
+   * |queries|·rerank candidate ids for the exact re-rank join.
+   * `rerank >= |corpus|` degrades to exact brute force (spec-asserted);
+   * recall@k at practical rerank is measured in DedupSimilaritySpec.
+   */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      rerank: Int = 50, trainN: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val dim = v.select(size(col("_v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // ---- train: one Lloyd loop over (subspace, subvector) rows from a
+    // bounded deterministic sample; only the m*ksub*dsub codebook ever
+    // reaches the driver ----
+    val sample = v.orderBy(xxhash64(col("_id")), col("_id")).limit(trainN)
+      .select(col("_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("_v"), s * dsub + 1, lit(dsub)))).as(Seq("_s", "_sv")))
+      .localCheckpoint()
+    // init: per subspace, the ksub hash-smallest sample subvectors
+    val initW = Window.partitionBy("_s").orderBy(xxhash64(col("_id")), col("_id"))
+    var codebook: Array[Array[Seq[Double]]] = Array.tabulate(m)(_ => Array.empty)
+    sample.withColumn("_r", row_number().over(initW)).filter(col("_r") <= ksub)
+      .orderBy("_s", "_r").collect()
+      .groupBy(_.getInt(1)).foreach { case (s, rows) =>
+        codebook(s) = rows.map(_.getSeq[Double](2)).toArray }
+    // keeps the broadcast `_cb` column — callers drop it once done with it
+    def withCodes(df: DataFrame, subvecs: Column): DataFrame =
+      df.crossJoin(broadcast(Seq(Tuple1(codebook.map(_.toSeq).toSeq)).toDF("_cb")))
+        // per subspace: argmin L2 distance to that subspace's centroids
+        .withColumn("_codes", zip_with(subvecs, col("_cb"), (sv, cents) => {
+          val dists = transform(cents, c =>
+            aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }))
+    val subvecsOf = (vc: Column) => transform(sequence(lit(0), lit(m - 1)),
+      s => slice(vc, s * dsub + 1, lit(dsub)))
+    (0 until iters).foreach { _ =>
+      val assigned = withCodes(
+        sample.groupBy("_id").agg(array_sort(collect_list(struct(col("_s"), col("_sv"))))
+          .as("_svs"))
+          .select(col("_id"), transform(col("_svs"), e => e.getField("_sv")).as("_svs")),
+        col("_svs"))
+        .select(posexplode(arrays_zip(col("_codes"), col("_svs"))).as(Seq("_s", "_z")))
+        .select(col("_s"), col("_z._codes").as("_c"),
+          posexplode(col("_z._svs")).as(Seq("_pos", "_x")))
+      val means = assigned.groupBy("_s", "_c", "_pos").agg(avg(col("_x")).as("_mn"))
+        .groupBy("_s", "_c")
+        .agg(array_sort(collect_list(struct(col("_pos"), col("_mn")))).as("_sv"))
+        .select(col("_s"), col("_c"), transform(col("_sv"), e => e.getField("_mn")).as("_m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      codebook = Array.tabulate(m)(s => Array.tabulate(ksub)(j =>
+        means.getOrElse((s, j), codebook(s)(j))))
+    }
+    // ---- encode: codes + reconstructed squared norm per corpus vector ----
+    val encoded = withCodes(v.withColumn("_svs", subvecsOf(col("_v"))), col("_svs"))
+      .withColumn("_rnorm2", aggregate(
+        zip_with(col("_codes"), col("_cb"), (code, cents) =>
+          aggregate(element_at(cents, code + 1), lit(0.0), (acc, x) => acc + x * x)),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("_id").as("neighbor_id"), col("_codes"), col("_rnorm2"))
+    // ---- serve: per-query dot tables, ADC scoring, approx top-rerank,
+    // exact re-rank ----
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+      .withColumn("_qsvs", subvecsOf(col("_qv")))
+      .crossJoin(broadcast(Seq(Tuple1(codebook.map(_.toSeq).toSeq)).toDF("_cb")))
+      .withColumn("_tabs", zip_with(col("_qsvs"), col("_cb"), (qs, cents) =>
+        transform(cents, c => aggregate(zip_with(qs, c, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))))
+      .withColumn("_qnorm", sqrt(aggregate(col("_qv"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .select(col("query_id"), col("_qv"), col("_tabs"), col("_qnorm"))
+    val adc = encoded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("_dot", aggregate(
+        zip_with(col("_codes"), col("_tabs"),
+          (code, tab) => element_at(tab, code + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("_approx", col("_dot") /
+        greatest(col("_qnorm") * sqrt(col("_rnorm2")), lit(1e-12)))
+    val wa = Window.partitionBy("query_id").orderBy(col("_approx").desc, col("neighbor_id"))
+    val cands = adc.withColumn("_ar", row_number().over(wa))
+      .filter(col("_ar") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("_qv"))
+    val exact = cands.join(v.withColumnRenamed("_id", "neighbor_id"), Seq("neighbor_id"))
+      .withColumn("sim", GraftFunctions.cosine_sim(col("_qv"), col("_v")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
+  }
+
+  /**
    * LSH ANN: bucket corpus and queries by multiple independent signature
    * bands; candidates = bucket collisions; exact cosine re-rank within
    * candidates. `tables` independent hash tables trade memory for recall.

@@ -223,6 +223,11 @@ object ApiDrive {
       pii.selectExpr("sum(p.n_emails)").head.getLong(0) +
       " phones=" + pii.selectExpr("sum(p.n_phones)").head.getLong(0))
 
+    // 13h. PQ/ADC ANN: encode once, serve via table lookups, exact re-rank
+    val pq = graft.operators.Similarity.pqTopK(
+      emb001, emb001.filter(col("vec_id") < 3), "vec_id", "embedding", 3, rerank = 30)
+    println(s"pq ann rows: ${pq.count}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",

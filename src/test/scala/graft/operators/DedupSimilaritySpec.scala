@@ -189,6 +189,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(full === brute)
   }
 
+  test("PQ ANN: rerank >= corpus degrades to exact brute force") {
+    val q = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rk", "neighbor_id", "sim")
+        .orderBy("query_id", "rk").collect().map(_.mkString("|")).toSeq
+    val pq = key(Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+      m = 8, ksub = 16, rerank = 1000000))
+    val brute = key(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5))
+    assert(pq === brute)
+  }
+
+  test("PQ ANN keeps useful top-5 recall at a practical rerank budget") {
+    // rerank=50 of a 500-vector corpus: ADC tables must place true
+    // neighbors in the approximate top-10%
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+      m = 8, ksub = 16, rerank = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall $recall")
+  }
+
+  test("PQ ANN rejects a subspace count that does not divide the dimension") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, emb.limit(1), "vec_id", "embedding", 5, m = 7)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
   test("brute-force ANN self-consistency: top-1 neighbor of a duplicated vector is itself") {
     val dup = emb.limit(3).withColumn("vec_id", col("vec_id") + 1000000)
     val out = Similarity.bruteForceTopK(emb.unionByName(dup), dup, "vec_id", "embedding", 1)
