@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Merge, Sampling, Sessions, Similarity, Spans, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Merge, Packing, Sampling, Sessions, Similarity, Spans, TemporalJoins, TextAnalysis}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -559,6 +559,28 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "text",
         n = 50, tieCol = "doc_id")
         .select("doc_id", "lang", "source", "sample_rank")),
+
+    // ---- data-recipe layer: temperature mixture, sequence packing,
+    // interleaved token streams, inverse-frequency rebalancing ----
+    "q69_mixture" -> ((s, dir) =>
+      Sampling.temperatureMixture(t(s, dir, "documents"), "lang", "doc_id",
+        total = 200L, tieCol = "doc_id")
+        .select("doc_id", "lang", "source", "mix_rank")),
+
+    "q70_pack" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"), "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")), capacity = 128L)
+        .toDF().withColumnRenamed("group", "source")),
+
+    "q71_interleaved" -> ((s, dir) =>
+      Spans.interleavedTokenStream(
+        Spans.chunkedSpanRows(t(s, dir, "documents"), chunkSize = 8),
+        mediaTokens = 64)),
+
+    "q72_balance" -> ((s, dir) =>
+      Sampling.balanceUpsample(t(s, dir, "documents"), "lang", "doc_id",
+        tieCol = "doc_id", capPct = 300L)
+        .select("doc_id", "lang", "source", "epoch")),
 
     // ---- cross-corpus SPAN dedup on the input_hint interleaved shape:
     // paragraph-grained chunks, global first-occurrence winner per payload,
@@ -1146,6 +1168,69 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rnk
         |  FROM documents)
         |SELECT doc_id, lang, source, rnk AS sample_rank FROM r WHERE rnk <= 50""".stripMargin,
+
+    "q69_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM c),
+        |tot AS (SELECT sum(wt) AS W FROM w),
+        |q0 AS (SELECT lang, wt, (200 * wt) // W AS base, (200 * wt) % W AS rem
+        |       FROM w, tot),
+        |d AS (SELECT 200 - sum(base) AS deficit FROM q0),
+        |q AS (SELECT lang, base + CASE WHEN row_number()
+        |        OVER (ORDER BY rem DESC, lang) <= deficit THEN 1 ELSE 0 END AS quota
+        |      FROM q0, d),
+        |r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.source, CAST(r.rnk AS BIGINT) AS mix_rank
+        |FROM r JOIN q USING (lang) WHERE r.rnk <= q.quota""".stripMargin,
+
+    "q70_pack" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS t,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack AS (
+        |  SELECT doc_id, source, t, rn, CAST(0 AS BIGINT) AS bin_id,
+        |    0 AS bin_pos, t AS fill
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, b.source, b.t, b.rn,
+        |    CASE WHEN p.fill + b.t <= 128 THEN p.bin_id ELSE p.bin_id + 1 END,
+        |    CASE WHEN p.fill + b.t <= 128 THEN p.bin_pos + 1 ELSE 0 END,
+        |    CASE WHEN p.fill + b.t <= 128 THEN p.fill + b.t ELSE b.t END
+        |  FROM pack p JOIN base b ON b.source = p.source AND b.rn = p.rn + 1
+        |)
+        |SELECT doc_id, source, t AS n_tokens, bin_id,
+        |  CAST(bin_pos AS INTEGER) AS bin_pos FROM pack""".stripMargin,
+
+    "q71_interleaved" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(t) > 0 THEN array_to_string(t, ' ') || ' <|media|>'
+        |       ELSE '<|media|>' END AS stream,
+        |  CAST(len(t) AS BIGINT) AS n_text_tokens,
+        |  CAST(1 AS BIGINT) AS n_media,
+        |  CAST(len(t) + 64 AS BIGINT) AS n_tokens
+        |FROM base""".stripMargin,
+
+    "q72_balance" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |mx AS (SELECT max(n) AS maxN FROM c),
+        |s AS (SELECT lang, n, least(300, (100 * maxN) // n) AS pct FROM c, mx),
+        |spec AS (SELECT lang, pct // 100 AS efull,
+        |           (n * (pct % 100)) // 100 AS extraq FROM s),
+        |r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.source, CAST(unnest(range(
+        |  spec.efull + CASE WHEN r.rnk <= spec.extraq THEN 1 ELSE 0 END))
+        |  AS BIGINT) AS epoch
+        |FROM r JOIN spec USING (lang)""".stripMargin,
 
     "q65_span_dedup" ->
       """WITH base AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,7 +159,42 @@ object Spans {
    * shape: explode -> dedup spans -> re-nest. Documents whose every span
    * was a repeat disappear (their spans all lost); surviving docs keep
    * their remaining spans in original offset order.
+   *
+   * dedupNestedSpans is the C4-style pipeline re-expressed on the
+   * interleaved schema.
    */
   def dedupNestedSpans(docs: DataFrame): DataFrame =
     nest(dedupSpans(explodeSpans(docs)))
+
+  /**
+   * Render interleaved span docs to a single training token stream: text
+   * spans contribute their tokens in offset order, every media span
+   * becomes one `<|media|>` placeholder that COSTS `mediaTokens` tokens —
+   * the multimodal-packing precursor (a vision-language batch budgets an
+   * image as a fixed patch-token count, interleaved at its original
+   * position). Returns per doc: the rendered stream plus the effective
+   * token accounting a packer ([[Packing.packSequences]]) bins on.
+   *
+   * Scale: one doc-keyed exchange (collect_list + sort of that doc's own
+   * spans) — per-row state is one document's spans, never the corpus.
+   */
+  def interleavedTokenStream(spanRows: DataFrame, mediaTokens: Int = 64): DataFrame = {
+    require(mediaTokens >= 1, s"mediaTokens must be >= 1, got $mediaTokens")
+    val isText = (s: Column) => s.getField("kind") === "text"
+    spanRows.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("offset"), col("kind"),
+        col("text"), col("media_ref")))).as("_s"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("_s"), s =>
+          when(isText(s), s.getField("text")).otherwise(lit("<|media|>"))))
+          .as("stream"),
+        aggregate(col("_s"), lit(0L), (acc, s) => acc +
+          when(isText(s), size(filter(split(s.getField("text"), " "),
+            t => length(t) > 0)).cast("long")).otherwise(0L))
+          .as("n_text_tokens"),
+        aggregate(col("_s"), lit(0L), (acc, s) => acc +
+          when(isText(s), 0L).otherwise(1L)).as("n_media"))
+      .withColumn("n_tokens",
+        col("n_text_tokens") + lit(mediaTokens.toLong) * col("n_media"))
+  }
 }

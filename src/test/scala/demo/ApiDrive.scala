@@ -223,6 +223,18 @@ object ApiDrive {
       pii.selectExpr("sum(p.n_emails)").head.getLong(0) +
       " phones=" + pii.selectExpr("sum(p.n_phones)").head.getLong(0))
 
+    // 13i. Data-recipe layer: temperature mixture, rebalancing, packing,
+    // interleaved token streams
+    val mix = graft.operators.Sampling.temperatureMixture(docs001, "lang", "doc_id", 100L, "doc_id")
+    val bal = graft.operators.Sampling.balanceUpsample(docs001, "lang", "doc_id", "doc_id")
+    val packed = graft.operators.Packing.packSequences(docs001, "doc_id", "source",
+      graft.operators.TextAnalysis.tokenCount(col("text")), capacity = 128L)
+    val stream = graft.operators.Spans.interleavedTokenStream(
+      graft.operators.Spans.chunkedSpanRows(docs001, chunkSize = 8))
+    println(s"mixture rows: ${mix.count}; rebalanced rows: ${bal.count}; " +
+      s"packed bins: ${graft.operators.Packing.packingStats(packed, 128L).count}; " +
+      s"interleaved streams: ${stream.count}")
+
     // 13h. PQ/ADC ANN: encode once, serve via table lookups, exact re-rank
     val pq = graft.operators.Similarity.pqTopK(
       emb001, emb001.filter(col("vec_id") < 3), "vec_id", "embedding", 3, rerank = 30)
