@@ -102,6 +102,103 @@ object Kernels {
       if (nOut == count) out else java.util.Arrays.copyOf(out, nOut))
   }
 
+  /**
+   * Adjacent word n-grams as strings (all occurrences, document order):
+   * value-identical to `transform(sequence(...), i -> concat_ws(' ',
+   * element_at(tokens, i+1..i+n)))` over whitespace-tokenized lowercase
+   * text, but one linear pass over the bytes. The column formulation is
+   * O(len²) per document — Catalyst's CollapseProject inlines the
+   * tokenize expression into every `element_at` call site, so each gram
+   * position re-splits the whole document (measured 9.5 s → sub-second at
+   * sf0.1 for the bigram LM count).
+   */
+  def wordNgrams(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[UTF8String])
+    if (text == null) return empty
+    val raw = text.toLowerCase.toString.split("\\s+")
+    var m = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) m += 1; i += 1 }
+    if (m < n) return empty
+    val toks = new Array[Array[Byte]](m)
+    i = 0; var j = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        toks(j) = raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8); j += 1
+      }
+      i += 1
+    }
+    val count = m - n + 1
+    val out = new Array[UTF8String](count)
+    i = 0
+    while (i < count) {
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += toks(i + k).length; k += 1 }
+      val buf = new Array[Byte](len)
+      var p = 0
+      k = 0
+      while (k < n) {
+        if (k > 0) { buf(p) = ' '.toByte; p += 1 }
+        val t = toks(i + k)
+        System.arraycopy(t, 0, buf, p, t.length); p += t.length
+        k += 1
+      }
+      out(i) = UTF8String.fromBytes(buf)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /**
+   * Fixed-token-count chunk strings of a document (the span-grain chunker):
+   * chunk i = tokens [i*size, (i+1)*size) space-joined. Same linear-pass
+   * rationale as [[wordNgrams]] — the slice/concat_ws column formulation
+   * re-walks the token array per chunk. NOTE lowercases nothing: chunks
+   * preserve the original token bytes.
+   */
+  def chunkText(text: UTF8String, chunkSize: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[UTF8String])
+    if (text == null) return empty
+    val raw = text.toString.split(" ")
+    var m = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) m += 1; i += 1 }
+    if (m == 0) return empty
+    val toks = new Array[Array[Byte]](m)
+    i = 0; var j = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        toks(j) = raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8); j += 1
+      }
+      i += 1
+    }
+    val nChunks = (m + chunkSize - 1) / chunkSize
+    val out = new Array[UTF8String](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val lo = c * chunkSize
+      val hi = math.min(lo + chunkSize, m)
+      var len = hi - lo - 1
+      var k = lo
+      while (k < hi) { len += toks(k).length; k += 1 }
+      val buf = new Array[Byte](len)
+      var p = 0
+      k = lo
+      while (k < hi) {
+        if (k > lo) { buf(p) = ' '.toByte; p += 1 }
+        val t = toks(k)
+        System.arraycopy(t, 0, buf, p, t.length); p += t.length
+        k += 1
+      }
+      out(c) = UTF8String.fromBytes(buf)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** splitmix64 finalizer — cheap full-avalanche 64-bit mixer. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -331,6 +428,24 @@ object GraftFunctions {
       Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(n))),
       inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)))
 
+  /** Adjacent word n-grams of a text column as strings (array<string>,
+    * all occurrences in document order) — linear-pass codegen'd kernel. */
+  def word_ngrams(text: Column, n: Int): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+      "wordNgrams",
+      Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(n))),
+      inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)))
+
+  /** Fixed-token-count chunk strings of a text column (array<string>) —
+    * linear-pass codegen'd kernel for the span-grain chunker. */
+  def chunk_text(text: Column, chunkSize: Int): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+      "chunkText",
+      Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(chunkSize))),
+      inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)))
+
   /** MinHash band-bucket hashes (array<bigint>, one per band) of a
     * shingle-hash array column — single-pass codegen'd kernel. */
   def minhash_bands(shingleHashes: Column, numBands: Int, rowsPerBand: Int): Column =
@@ -405,6 +520,18 @@ object GraftFunctions {
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType, containsNull = false),
         "shingleHash64", args.take(2),
+        inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)),
+      "built-in")
+    registry.createOrReplaceTempFunction("word_ngrams",
+      (args: Seq[Expression]) => StaticInvoke(K,
+        org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+        "wordNgrams", args.take(2),
+        inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)),
+      "built-in")
+    registry.createOrReplaceTempFunction("chunk_text",
+      (args: Seq[Expression]) => StaticInvoke(K,
+        org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+        "chunkText", args.take(2),
         inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)),
       "built-in")
     registry.createOrReplaceTempFunction("minhash_bands",

@@ -110,22 +110,18 @@ object Spans {
    */
   def chunkedSpanRows(documents: DataFrame, chunkSize: Int = 8): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
-    val toks = filter(split(col("text"), " "), t => length(t) > 0)
-    val nChunks = ceil(size(toks).cast("double") / chunkSize).cast("int")
-    // sequence(a, b) runs DESCENDING when b < a — an empty doc must yield
-    // zero chunks, not a bogus [0, -1] index walk
+    // one linear kernel pass per document: the slice/concat_ws column
+    // formulation re-walks the token array once per chunk after
+    // CollapseProject inlining (the ngramCounts lesson — O(len^2/chunk))
+    val chunkArr = graft.functions.GraftFunctions.chunk_text(col("text"), chunkSize)
     val chunks = documents.select(col("doc_id"), col("source"),
-        posexplode(when(size(toks) > 0,
-          transform(sequence(lit(0), nChunks - 1),
-            c => concat_ws(" ", slice(toks, c * chunkSize + 1, lit(chunkSize)))))
-          .otherwise(array().cast("array<string>")))
-          .as(Seq("offset", "chunk")))
+        posexplode(chunkArr).as(Seq("offset", "chunk")))
       .select(col("doc_id"), lit("text").as("kind"), col("chunk").as("text"),
         lit(null).cast("string").as("media_ref"), col("offset").cast("int").as("offset"))
     val media = documents.select(col("doc_id"), lit("image").as("kind"),
       lit(null).cast("string").as("text"),
       concat(lit("media://"), col("source"), lit("/"), col("doc_id")).as("media_ref"),
-      ceil(size(toks).cast("double") / chunkSize).cast("int").as("offset"))
+      size(chunkArr).as("offset"))
     chunks.unionByName(media)
   }
 

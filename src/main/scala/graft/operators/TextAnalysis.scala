@@ -99,13 +99,12 @@ object TextAnalysis {
   def ngramCounts(df: DataFrame, textCol: String, n: Int = 2,
       minCount: Long = 2L): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val toks = Dedup.tokens(col(textCol))
-    // sequence(a, b) runs DESCENDING when b < a — guard short docs before
-    // building index lists
-    val grams = transform(sequence(lit(0), size(toks) - n), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    df.select(explode(when(size(toks) >= n, grams)
-        .otherwise(array().cast("array<string>"))).as("ngram"))
+    // one linear kernel pass per document: the element_at-per-position
+    // column formulation re-tokenizes the document at every gram site
+    // after CollapseProject inlining (O(len^2) per row — 9.5 s at sf0.1;
+    // the kernel reads 0.4 s)
+    df.select(explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }
