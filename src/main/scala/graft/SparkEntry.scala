@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Merge, Packing, Sampling, Sessions, Similarity, Spans, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Graph, Merge, Packing, Profile, Sampling, Sessions, Similarity, Spans, TemporalJoins, TextAnalysis}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -581,6 +581,35 @@ object SparkEntry {
       Sampling.balanceUpsample(t(s, dir, "documents"), "lang", "doc_id",
         tieCol = "doc_id", capPct = 300L)
         .select("doc_id", "lang", "source", "epoch")),
+
+    // ---- link-graph PageRank (crawl-priority authority score) over a
+    // deterministic data-derived edge list: 3 out-links per doc via
+    // (doc_id*m + n_chars) mod N, docs with n_chars%7==0 dangling ----
+    "q73_pagerank" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val nTab = docs.agg(count(lit(1)).as("_n"))
+      val base = docs.filter(col("n_chars") % 7 =!= 0)
+        .select(col("doc_id"), col("n_chars"))
+        .crossJoin(broadcast(nTab))
+      val edges = Seq(7L, 11L, 13L).map { m =>
+        base.select(col("doc_id").as("src"),
+            ((col("doc_id") * m + col("n_chars")) % col("_n")).as("dst"))
+          .filter(col("dst") =!= col("src"))
+      }.reduce(_ unionByName _)
+      Graph.pageRank(docs.select(col("doc_id")), edges,
+          idCol = "doc_id", iterations = 5, damping = 0.85)
+        .select(col("id").as("doc_id"), col("rank"))
+    },
+
+    // ---- column-level data profiling (one scan, one aggregate) ----
+    "q74_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
+    // ---- corpus-LM document scoring (bigram log-frequency familiarity;
+    // gram strings collapse to 8-byte hashes before any shuffle) ----
+    "q75_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
 
     // ---- cross-corpus SPAN dedup on the input_hint interleaved shape:
     // paragraph-grained chunks, global first-occurrence winner per payload,
@@ -1231,6 +1260,100 @@ object SparkEntry {
         |  spec.efull + CASE WHEN r.rnk <= spec.extraq THEN 1 ELSE 0 END))
         |  AS BIGINT) AS epoch
         |FROM r JOIN spec USING (lang)""".stripMargin,
+
+    "q73_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |src0 AS (SELECT doc_id, n_chars FROM documents WHERE n_chars % 7 <> 0),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + n_chars) % nn.n AS dst
+        |    FROM src0, nn WHERE (doc_id * 7 + n_chars) % nn.n <> doc_id
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 11 + n_chars) % nn.n
+        |    FROM src0, nn WHERE (doc_id * 11 + n_chars) % nn.n <> doc_id
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + n_chars) % nn.n
+        |    FROM src0, nn WHERE (doc_id * 13 + n_chars) % nn.n <> doc_id),
+        |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes, nn),
+        |c1 AS (SELECT e.dst AS id, sum(r.rank / d.out_deg) AS im FROM edges e
+        |       JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src GROUP BY 1),
+        |d1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0
+        |       WHERE id NOT IN (SELECT src FROM deg)),
+        |r1 AS (SELECT nodes.id, (1 - 0.85) / nn.n +
+        |         0.85 * (coalesce(c1.im, 0) + d1.dm / nn.n) AS rank
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d1
+        |       LEFT JOIN c1 ON nodes.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, sum(r.rank / d.out_deg) AS im FROM edges e
+        |       JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src GROUP BY 1),
+        |d2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1
+        |       WHERE id NOT IN (SELECT src FROM deg)),
+        |r2 AS (SELECT nodes.id, (1 - 0.85) / nn.n +
+        |         0.85 * (coalesce(c2.im, 0) + d2.dm / nn.n) AS rank
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d2
+        |       LEFT JOIN c2 ON nodes.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, sum(r.rank / d.out_deg) AS im FROM edges e
+        |       JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.src GROUP BY 1),
+        |d3 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2
+        |       WHERE id NOT IN (SELECT src FROM deg)),
+        |r3 AS (SELECT nodes.id, (1 - 0.85) / nn.n +
+        |         0.85 * (coalesce(c3.im, 0) + d3.dm / nn.n) AS rank
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d3
+        |       LEFT JOIN c3 ON nodes.id = c3.id),
+        |c4 AS (SELECT e.dst AS id, sum(r.rank / d.out_deg) AS im FROM edges e
+        |       JOIN r3 r ON e.src = r.id JOIN deg d ON e.src = d.src GROUP BY 1),
+        |d4 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r3
+        |       WHERE id NOT IN (SELECT src FROM deg)),
+        |r4 AS (SELECT nodes.id, (1 - 0.85) / nn.n +
+        |         0.85 * (coalesce(c4.im, 0) + d4.dm / nn.n) AS rank
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d4
+        |       LEFT JOIN c4 ON nodes.id = c4.id),
+        |c5 AS (SELECT e.dst AS id, sum(r.rank / d.out_deg) AS im FROM edges e
+        |       JOIN r4 r ON e.src = r.id JOIN deg d ON e.src = d.src GROUP BY 1),
+        |d5 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r4
+        |       WHERE id NOT IN (SELECT src FROM deg)),
+        |r5 AS (SELECT nodes.id, (1 - 0.85) / nn.n +
+        |         0.85 * (coalesce(c5.im, 0) + d5.dm / nn.n) AS rank
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d5
+        |       LEFT JOIN c5 ON nodes.id = c5.id)
+        |SELECT id AS doc_id, round(rank, 6) AS rank FROM r5""".stripMargin,
+
+    "q74_profile" ->
+      """SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders""".stripMargin,
+
+    "q75_lm_score" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> len(x) > 0) AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |c AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total FROM c)
+        |SELECT g.doc_id, round(avg(ln(CAST(c.c AS DOUBLE) /
+        |  CAST(tot.total AS DOUBLE))), 6) AS lm_score
+        |FROM g JOIN c USING (gram) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
 
     "q65_span_dedup" ->
       """WITH base AS (

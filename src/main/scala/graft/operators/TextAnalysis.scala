@@ -110,6 +110,33 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-LM document scoring: score(doc) = mean over the doc's adjacent
+   * bigrams of ln(corpus_count(bigram) / total_bigrams) — the "how typical
+   * of this corpus is this document" signal (the cheap stand-in for a
+   * neural-LM perplexity gate; unusual word sequences ⇒ strongly negative
+   * scores). Docs with < 2 tokens produce no bigrams and are absent from
+   * the output, mirroring the SQL formulation.
+   *
+   * Scale shape: bigram STRINGS never shuffle — each doc's grams collapse
+   * to 8-byte xxhash64 keys right after the kernel pass, the count table
+   * is built map-side-combined on those keys, and the score join carries
+   * (id, gram_hash) only. The total-bigram scalar rides as a broadcast
+   * 1-row table, not a driver collect.
+   */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df.select(col(idCol),
+        explode(graft.functions.GraftFunctions.word_ngrams(col(textCol), 2)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .localCheckpoint() // grams feed BOTH the count table and the score join
+    val counts = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total"))
+    grams.join(counts, Seq("gh"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("c").cast("double") / col("total"))), 6).as("lm_score"))
+  }
+
+  /**
    * The composed quality FILTER a training-data pipeline actually runs:
    * keep documents inside the token-count / punctuation / word-shape
    * envelope (fasttext-style cheap gates). One streaming pass — the

@@ -240,6 +240,17 @@ object ApiDrive {
       emb001, emb001.filter(col("vec_id") < 3), "vec_id", "embedding", 3, rerank = 30)
     println(s"pq ann rows: ${pq.count}")
 
+    // 13i. Link-graph PageRank, column profiling, corpus-LM scoring
+    val prNodes = docs001.select(col("doc_id"))
+    val prEdges = docs001.filter(col("n_chars") % 7 =!= 0)
+      .select(col("doc_id").as("src"), ((col("doc_id") * 7 + col("n_chars")) % 100).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val pr = graft.operators.Graph.pageRank(prNodes, prEdges, idCol = "doc_id")
+    val prof = graft.operators.Profile.profile(docs001, Seq("doc_id", "lang", "text"))
+    val lm = graft.operators.TextAnalysis.lmScore(docs001, "doc_id", "text")
+    println(s"pagerank rows: ${pr.count} (sum ${pr.agg(round(sum("rank"), 3)).first.get(0)}); " +
+      s"profile rows: ${prof.count}; lm-scored docs: ${lm.count}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",
