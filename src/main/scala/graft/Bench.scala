@@ -326,7 +326,12 @@ object Bench {
     // quiet pairs landed — on a continuously noisy host the artifact then
     // honestly shows zero quiet pairs (only the forced-minimum pairs ran)
     // and the normalized estimator carries the evidence
-    val wallBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "1800").toLong
+    // 45 min default: daytime quiet windows on this host are minutes long
+    // and hours apart (round-3 lesson — three of five blind-scheduled
+    // driver pairs landed in noise); the budget is all hunt, pairs only
+    // RUN on quiet probes, so a longer wall costs probe cycles, not
+    // wasted measurements
+    val wallBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "2700").toLong
     val phaseStart = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - phaseStart) / 1000000000L
     val postMembw = scala.collection.mutable.ArrayBuffer.empty[Double]

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Graph, Merge, Packing, Profile, Sampling, Sessions, Similarity, Spans, TemporalJoins, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Graph, Merge, Packing, Profile, Sampling, Sessions, Similarity, Spans, TemporalJoins, TextAnalysis}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -611,6 +611,23 @@ object SparkEntry {
     "q75_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- BPE tokenizer training (Sennrich et al. 2016) — merge stats
+    // live on the word-TYPE table, one collected argmax row per round ----
+    "q76_bpe_learn" -> ((s, dir) =>
+      Bpe.learnMerges(Bpe.wordCounts(t(s, dir, "documents"), "text"), 6)),
+
+    // ---- BPE segmentation with the learned merges: the corpus streams
+    // through numMerges chained kernel steps, no pre-agg shuffle ----
+    "q77_bpe_segment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.applyMerges(docs, "text", merges)
+        .select(explode(col("subwords")).as("subword"))
+        .groupBy("subword").agg(count(lit(1)).as("n_occ"))
+    },
+
     // ---- cross-corpus SPAN dedup on the input_hint interleaved shape:
     // paragraph-grained chunks, global first-occurrence winner per payload,
     // one 8-byte-hash-keyed exchange ----
@@ -663,11 +680,60 @@ object SparkEntry {
       cfg: graft.crawl.Crawl.Config): graft.crawl.Crawl.Result =
     crawlMemo.computeIfAbsent((s, cfg), _ => graft.crawl.Crawl.run(s, cfg))
 
+  /**
+   * BPE oracle generator: unrolls `rounds` merge iterations as a DuckDB
+   * CTE chain (the q73 PageRank treatment). The merge step itself is SQL
+   * because each word rides as a separator-wrapped symbol string
+   * (" l  o …"), where `replace()` — non-
+   * overlapping, left-to-right — IS the BPE merge semantics of Sennrich
+   * et al. alg. 1 ("aaa" under merge (a,a) → ["aa","a"]). `finalSelect`
+   * reads from `b0..b{rounds-1}` (per-round argmax pairs) and/or
+   * `w{rounds}` (fully merged words, weight n).
+   */
+  private def bpeOracle(rounds: Int, finalSelect: String): String = {
+    val S = "e'\\x1f'"
+    val sb = new StringBuilder
+    sb ++= s"""WITH wc AS (
+      |  SELECT word, count(*) AS n FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+      |      x -> len(x) > 0)) AS word FROM documents) GROUP BY 1),
+      |w0 AS (SELECT $S || array_to_string(string_split(word, ''), $S||$S)
+      |  || $S || $S || '</w>' || $S AS w, n FROM wc)""".stripMargin
+    for (k <- 0 until rounds) {
+      sb ++= s""",
+      |p$k AS (SELECT unnest(list_transform(range(1, len(l)),
+      |    i -> l[i] || ' ' || l[i+1])) AS pair, n
+      |  FROM (SELECT string_split(substr(w, 2, len(w) - 2), $S||$S) AS l, n
+      |        FROM w$k) WHERE len(l) >= 2),
+      |b$k AS (SELECT pair, sum(n) AS c FROM p$k GROUP BY 1
+      |  ORDER BY c DESC, pair ASC LIMIT 1),
+      |w${k + 1} AS (SELECT replace(w.w,
+      |    $S || split_part(b.pair, ' ', 1) || $S || $S || split_part(b.pair, ' ', 2) || $S,
+      |    $S || split_part(b.pair, ' ', 1) || split_part(b.pair, ' ', 2) || $S) AS w, n
+      |  FROM w$k w, b$k b)""".stripMargin
+    }
+    sb ++= "\n" + finalSelect
+    sb.toString
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles. Omitted for q27/q28/q30 (approximate candidate
   // generation — validated against exact results in ScalaTest instead).
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = Map(
+    "q76_bpe_learn" -> bpeOracle(6,
+      (0 until 6).map(k =>
+        s"""SELECT $k AS rank, split_part(pair, ' ', 1) AS "left",
+           |  split_part(pair, ' ', 2) AS "right",
+           |  replace(pair, ' ', '') AS merged, c AS pair_count FROM b$k""".stripMargin)
+        .mkString("\nUNION ALL\n")),
+
+    "q77_bpe_segment" -> bpeOracle(6,
+      """SELECT subword, sum(n) AS n_occ FROM (
+        |  SELECT unnest(string_split(substr(w, 2, len(w) - 2),
+        |    e'\x1f'||e'\x1f')) AS subword, n FROM w6)
+        |GROUP BY 1""".stripMargin),
+
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,

@@ -44,7 +44,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val fingerprints = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // builder-iteration knob (unset in driver runs): restrict to a
+    // comma-separated query subset, e.g. SPARK_GRAFT_ONLY=q76_bpe_learn
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

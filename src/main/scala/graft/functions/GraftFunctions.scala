@@ -199,6 +199,48 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Adjacent symbol pairs of a symbol array, as "l r" strings (BPE pair
+    * statistics; word-internal only — callers explode per word type). */
+  def bpePairs(syms: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = if (syms == null) 0 else syms.numElements()
+    if (n < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[UTF8String])
+    val out = new Array[UTF8String](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concat(syms.getUTF8String(i),
+        UTF8String.fromString(" "), syms.getUTF8String(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** One BPE merge applied to a symbol array: every non-overlapping
+    * left-to-right occurrence of (l, r) becomes the concatenation l+r —
+    * the reference semantics of the original BPE algorithm (Sennrich et
+    * al. 2016), where "aaa" under merge (a,a) yields ["aa","a"]. */
+  def bpeMergeStep(syms: org.apache.spark.sql.catalyst.util.ArrayData,
+      l: UTF8String, r: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = if (syms == null) 0 else syms.numElements()
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[UTF8String])
+    val out = new Array[UTF8String](n)
+    var nOut = 0
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && syms.getUTF8String(i).equals(l) &&
+          syms.getUTF8String(i + 1).equals(r)) {
+        out(nOut) = UTF8String.concat(l, r); nOut += 1; i += 2
+      } else {
+        out(nOut) = syms.getUTF8String(i); nOut += 1; i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (nOut == n) out else java.util.Arrays.copyOf(out, nOut))
+  }
+
   /** splitmix64 finalizer — cheap full-avalanche 64-bit mixer. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -445,6 +487,25 @@ object GraftFunctions {
       "chunkText",
       Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(chunkSize))),
       inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)))
+
+  /** Adjacent "l r" symbol-pair strings of an array<string> column —
+    * codegen'd kernel for BPE pair statistics. */
+  def bpe_pairs(syms: Column): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+      "bpePairs", Seq(ColumnBridge.expression(syms)),
+      inputTypes = Seq(org.apache.spark.sql.types.ArrayType(StringType))))
+
+  /** One BPE merge (l, r) -> l+r applied non-overlapping left-to-right
+    * over an array<string> symbol column — codegen'd kernel. */
+  def bpe_merge_step(syms: Column, l: Column, r: Column): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+      "bpeMergeStep",
+      Seq(ColumnBridge.expression(syms), ColumnBridge.expression(l),
+        ColumnBridge.expression(r)),
+      inputTypes = Seq(org.apache.spark.sql.types.ArrayType(StringType),
+        StringType, StringType)))
 
   /** MinHash band-bucket hashes (array<bigint>, one per band) of a
     * shingle-hash array column — single-pass codegen'd kernel. */

@@ -251,6 +251,20 @@ object ApiDrive {
     println(s"pagerank rows: ${pr.count} (sum ${pr.agg(round(sum("rank"), 3)).first.get(0)}); " +
       s"profile rows: ${prof.count}; lm-scored docs: ${lm.count}")
 
+    // 13j. BPE tokenizer training + segmentation over the document corpus
+    val bpeWc = graft.operators.Bpe.wordCounts(docs001, "text")
+    val bpeMerges = graft.operators.Bpe.learnMerges(bpeWc, 4)
+    val mergeList = bpeMerges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = graft.operators.Bpe.applyMerges(docs001, "text", mergeList)
+    println(s"bpe merges: ${mergeList.map { case (l, r) => s"$l+$r" }.mkString(",")}; " +
+      s"segmented docs: ${seg.count}, distinct subwords: " +
+      s"${seg.select(explode(col("subwords")).as("sw")).distinct.count}")
+    // probe: empty corpus learns nothing, segmentation passes through
+    val bpeEmpty = graft.operators.Bpe.learnMerges(
+      bpeWc.filter(lit(false)), 4)
+    println(s"bpe empty-corpus merges: ${bpeEmpty.count}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",
