@@ -628,6 +628,26 @@ object SparkEntry {
         .groupBy("subword").agg(count(lit(1)).as("n_occ"))
     },
 
+    // ---- change-rate-aware recrawl scheduling (daemon cron generalized:
+    // per-site cadence from observed posting rate, integer-exact) ----
+    "q79_recrawl" -> ((s, dir) =>
+      graft.operators.Recrawl.schedule(
+        t(s, dir, "orders").select(col("o_orderpriority").as("site_id"),
+          col("o_orderdate").as("created_at")),
+        "site_id", "created_at", targetBatch = 30,
+        minMinutes = 60, maxMinutes = 7L * 24 * 60)),
+
+    // ---- site-level boilerplate removal (line-df template cleaning);
+    // line strings never shuffle (hashed df agg), boilerplate set rides
+    // back as a broadcast per-group array, strip is map-side ----
+    "q78_boilerplate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("ml_text",
+        array_join(GraftFunctions.chunk_text(col("text"), 2), "\n"))
+      graft.operators.Boilerplate.strip(docs, "source", "doc_id", "ml_text", 16, 100)
+        .select(col("doc_id"), col("ml_text").as("clean_text"),
+          col("n_lines"), col("n_removed"))
+    },
+
     // ---- cross-corpus SPAN dedup on the input_hint interleaved shape:
     // paragraph-grained chunks, global first-occurrence winner per payload,
     // one 8-byte-hash-keyed exchange ----
@@ -727,6 +747,42 @@ object SparkEntry {
            |  split_part(pair, ' ', 2) AS "right",
            |  replace(pair, ' ', '') AS merged, c AS pair_count FROM b$k""".stripMargin)
         .mkString("\nUNION ALL\n")),
+
+    "q79_recrawl" ->
+      """WITH a AS (SELECT o_orderpriority AS site_id, count(*) AS n_posts,
+        |  CAST(epoch(min(o_orderdate)) AS BIGINT) AS f,
+        |  CAST(epoch(max(o_orderdate)) AS BIGINT) AS l
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT site_id, n_posts, (l - f) // 60 AS span_minutes, l FROM a),
+        |c AS (SELECT site_id, n_posts, span_minutes,
+        |  least(greatest((30 * span_minutes) // greatest(n_posts - 1, 1), 60),
+        |        10080) AS interval_minutes, l FROM b)
+        |SELECT site_id, n_posts, CAST(span_minutes AS BIGINT) AS span_minutes,
+        |  CAST(interval_minutes AS BIGINT) AS interval_minutes,
+        |  make_timestamp((l + interval_minutes * 60) * 1000000) AS next_due
+        |FROM c""".stripMargin,
+
+    "q78_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |  list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+        |ls AS (SELECT doc_id, source, list_transform(range(0, CAST(ceil(len(t) / 2.0) AS INT)),
+        |         i -> array_to_string(t[2*i+1:2*i+2], ' ')) AS ls FROM toks),
+        |ex AS (SELECT doc_id, source,
+        |         unnest(list_transform(range(1, len(ls) + 1), i -> {'ord': i, 'line': ls[i]})) AS u
+        |       FROM ls),
+        |e2 AS (SELECT doc_id, source, u.ord AS ord, u.line AS line FROM ex),
+        |gs AS (SELECT source, count(DISTINCT doc_id) AS gd FROM documents GROUP BY 1),
+        |bl AS (SELECT source, line
+        |       FROM (SELECT source, line, count(DISTINCT doc_id) AS nd FROM e2 GROUP BY 1, 2)
+        |       JOIN gs USING (source) WHERE nd * 100 >= gd * 16),
+        |kept AS (SELECT e2.* FROM e2 ANTI JOIN bl ON e2.source = bl.source AND e2.line = bl.line),
+        |txt AS (SELECT doc_id, array_to_string(list(line ORDER BY ord), chr(10)) AS clean_text,
+        |               count(*) AS n_kept FROM kept GROUP BY 1),
+        |nl AS (SELECT doc_id, len(ls) AS n_lines FROM ls)
+        |SELECT d.doc_id, coalesce(t2.clean_text, '') AS clean_text,
+        |       CAST(nl.n_lines AS BIGINT) AS n_lines,
+        |       CAST(nl.n_lines - coalesce(t2.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d JOIN nl USING (doc_id) LEFT JOIN txt t2 USING (doc_id)""".stripMargin,
 
     "q77_bpe_segment" -> bpeOracle(6,
       """SELECT subword, sum(n) AS n_occ FROM (

@@ -265,6 +265,26 @@ object ApiDrive {
       bpeWc.filter(lit(false)), 4)
     println(s"bpe empty-corpus merges: ${bpeEmpty.count}")
 
+    // 13k. Boilerplate strip, recrawl scheduling, cache compaction
+    val mlDocs = docs001.withColumn("ml_text", array_join(
+      graft.functions.GraftFunctions.chunk_text(col("text"), 2), "\n"))
+    val bp = graft.operators.Boilerplate.strip(mlDocs, "source", "doc_id", "ml_text", 16, 100)
+    println(s"boilerplate: stripped ${bp.agg(sum("n_removed")).first.getLong(0)} " +
+      s"lines across ${bp.count} docs")
+    val orders001 = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val sched = graft.operators.Recrawl.schedule(
+      orders001.select(col("o_orderpriority").as("site_id"), col("o_orderdate").as("created_at")),
+      "site_id", "created_at", 30, 60, 10080)
+    println(s"recrawl schedule sites: ${sched.count}, " +
+      s"min interval: ${sched.agg(min("interval_minutes")).first.get(0)} min")
+    val compDir = java.nio.file.Files.createTempDirectory("apidrive-compact").toString
+    docs001.limit(64).select(col("source").as("site_id"), col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").partitionBy("site_id").parquet(compDir)
+    val comp = graft.crawl.Compaction.compact(spark, compDir, maxFiles = 1)
+    println(s"compaction: ${comp.size} partitions rewritten, " +
+      s"files ${comp.map(_.filesBefore).sum} -> ${comp.map(_.filesAfter).sum}; " +
+      s"rows intact: ${spark.read.parquet(compDir).count == 64}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",
