@@ -628,6 +628,16 @@ object SparkEntry {
         .groupBy("subword").agg(count(lit(1)).as("n_occ"))
     },
 
+    // ---- inverted index (search layer; head-cut caps stopword postings) ----
+    "q80_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 3L, maxDf = 400L)),
+
+    // ---- PMI collocations (phrase mining; single fixed-order double
+    // expression on both sides, 6 dp) ----
+    "q81_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text", minCount = 5L)),
+
     // ---- change-rate-aware recrawl scheduling (daemon cron generalized:
     // per-site cadence from observed posting rate, integer-exact) ----
     "q79_recrawl" -> ((s, dir) =>
@@ -747,6 +757,37 @@ object SparkEntry {
            |  split_part(pair, ' ', 2) AS "right",
            |  replace(pair, ' ', '') AS merged, c AS pair_count FROM b$k""".stripMargin)
         .mkString("\nUNION ALL\n")),
+
+    "q80_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, term FROM t)
+        |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+        |FROM dt GROUP BY 1 HAVING count(*) BETWEEN 3 AND 400""".stripMargin,
+
+    "q81_pmi" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY 1),
+        |nu AS (SELECT sum(cw) AS n_uni FROM uni),
+        |g AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> len(x) > 0) AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |bi AS (SELECT bigram, count(*) AS cxy FROM g GROUP BY 1),
+        |nb AS (SELECT sum(cxy) AS n_bi FROM bi),
+        |f AS (SELECT bigram, cxy FROM bi WHERE cxy >= 5)
+        |SELECT f.bigram, f.cxy,
+        |  round(ln(CAST(f.cxy AS DOUBLE) * CAST(nu.n_uni AS DOUBLE) *
+        |    CAST(nu.n_uni AS DOUBLE) /
+        |    (CAST(nb.n_bi AS DOUBLE) * CAST(ux.cw AS DOUBLE) *
+        |     CAST(uy.cw AS DOUBLE))), 6) AS pmi
+        |FROM f CROSS JOIN nu CROSS JOIN nb
+        |JOIN uni ux ON ux.w = split_part(f.bigram, ' ', 1)
+        |JOIN uni uy ON uy.w = split_part(f.bigram, ' ', 2)""".stripMargin,
 
     "q79_recrawl" ->
       """WITH a AS (SELECT o_orderpriority AS site_id, count(*) AS n_posts,

@@ -110,6 +110,57 @@ object TextAnalysis {
   }
 
   /**
+   * Inverted index: term → document frequency + sorted posting list (the
+   * search layer over a corpus store). `maxDf` cuts stopword terms whose
+   * posting lists would otherwise grow with the corpus (the classic
+   * head-cut; at 10^10 docs an uncut stopword posting is the corpus
+   * itself). One exchange keyed by (doc, term) for the per-doc distinct,
+   * then the posting aggregation — both map-side combined.
+   */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame =
+    df.select(col(idCol).as("_doc"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("_doc"))).as("postings"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+
+  /**
+   * PMI collocations: pointwise mutual information of adjacent word
+   * pairs, ln((c_xy/N_bi) / ((c_x/N_uni)·(c_y/N_uni))) — the
+   * phrase-mining signal (high PMI = words that co-occur far above
+   * chance). All counts aggregate as longs; the PMI itself is computed
+   * as ONE double expression with fixed left-associative order on both
+   * the Spark and oracle sides, rounded to 6 dp, so the float paths are
+   * bit-identical. Totals ride as broadcast 1-row tables.
+   */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val uni = df.select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .localCheckpoint() // feeds the total AND two join probes
+    val nUni = uni.agg(sum("cw").as("n_uni"))
+    val bi = df.select(explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+      .localCheckpoint() // total must see PRE-filter counts
+    val nBi = bi.agg(sum("cxy").as("n_bi"))
+    bi.filter(col("cxy") >= minCount)
+      .withColumn("_x", substring_index(col("bigram"), " ", 1))
+      .withColumn("_y", substring_index(col("bigram"), " ", -1))
+      .join(uni.select(col("w").as("_x"), col("cw").as("cx")), Seq("_x"))
+      .join(uni.select(col("w").as("_y"), col("cw").as("cy")), Seq("_y"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("cxy"),
+        round(log(
+          col("cxy").cast("double") * col("n_uni").cast("double") *
+            col("n_uni").cast("double") /
+            (col("n_bi").cast("double") * col("cx").cast("double") *
+              col("cy").cast("double"))), 6).as("pmi"))
+  }
+
+  /**
    * Corpus-LM document scoring: score(doc) = mean over the doc's adjacent
    * bigrams of ln(corpus_count(bigram) / total_bigrams) — the "how typical
    * of this corpus is this document" signal (the cheap stand-in for a

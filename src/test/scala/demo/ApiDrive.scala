@@ -285,6 +285,12 @@ object ApiDrive {
       s"files ${comp.map(_.filesBefore).sum} -> ${comp.map(_.filesAfter).sum}; " +
       s"rows intact: ${spark.read.parquet(compDir).count == 64}")
 
+    // 13l. Inverted index + PMI collocations
+    val idx = graft.operators.TextAnalysis.invertedIndex(docs001, "doc_id", "text", 3, 400)
+    val pmi = graft.operators.TextAnalysis.pmiCollocations(docs001, "text", 5)
+    println(s"inverted index terms: ${idx.count}; pmi pairs: ${pmi.count}, " +
+      s"top: ${pmi.orderBy(desc("pmi")).select("bigram").first.getString(0)}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",
