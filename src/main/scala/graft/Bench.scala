@@ -380,6 +380,103 @@ object Bench {
     def mustForce(r: Int): Boolean =
       quietGating && r < minPairs &&
         elapsedSec >= wallBudgetSec - estPairSec * (minPairs - r)
+    // ARTIFACT-PER-PAIR: the full JSON line is printed and file-written
+    // after EVERY completed pair, not only at the end — a driver-side
+    // timeout that kills the bench mid-hunt still leaves the last
+    // complete artifact in the log tail and in SPARK_GRAFT_BENCH_OUT
+    // (a log-tail capture keeps the final complete line).
+    def emitArtifact(): Unit = {
+      if (runsLow.isEmpty || runsHigh.isEmpty) return
+
+      val (secsLow, fpLow, urlsLow) = runsLow.minBy(_._1)
+      val (secsHigh, fpHigh, urlsHigh) = runsHigh.minBy(_._1)
+      val runsLowAll = runsLow.map(_._1).toSeq
+      val runsHighAll = runsHigh.map(_._1).toSeq
+
+      val thrLow = urlsLow / secsLow
+      val thrHigh = urlsHigh / secsHigh
+      val efficiency = (thrHigh / thrLow) / (cpusHigh.toDouble / cpusLow)
+      // median-pair estimator alongside best-pair: robust to asymmetric host
+      // noise (a lucky fast low-side run depresses the best-pair ratio)
+      def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+      val efficiencyMedian =
+        (median(runsLow.map(_._1).toSeq) / median(runsHigh.map(_._1).toSeq)) /
+          (cpusHigh.toDouble / cpusLow)
+      val identical = fpLow == fpHigh && urlsLow == urlsHigh
+
+      // Per-pair estimators: pair i's crawl efficiency against its own
+      // same-moment memory-bandwidth ceiling. The membw stream is fixed work
+      // per thread, so perfect hardware gives ratio 1.0 — the ceiling this
+      // box can express right now. pair_eff / ceiling ~ 1.0 means the crawl
+      // scales as well as the machine's memory bus does.
+      val speedup = cpusHigh.toDouble / cpusLow
+      val pairEff = runsLow.zip(runsHigh).map { case (l, h) => (l._1 / h._1) / speedup }.toSeq
+      val pairMembw = burnsLow.zip(burnsHigh).map { case (l, h) => l._2 / h._2 }.toSeq
+      val pairNorm = pairEff.zip(pairMembw).map { case (e, m) => e / m }
+      // Gate evidence = pairs whose LOW-side window was verifiably quiet
+      // (pre+mid probes and during-low sampler): noise there would INFLATE
+      // the ratio, so ruling it out makes the pair an honest measurement;
+      // residual high-side noise can only deflate it (lower bound). The
+      // bracketed estimator (all probes + both samplers quiet) rides along
+      // as the stricter round-3 criterion.
+      val eligiblePairs = pairEff.zip(pairLowQuiet.toSeq).filter(_._2).map(_._1)
+      val bestQuiet = if (eligiblePairs.nonEmpty) Some(eligiblePairs.max) else None
+      val bracketedPairs = pairEff.zip(pairQuiet.toSeq).filter(_._2).map(_._1)
+      val bestBracketed = if (bracketedPairs.nonEmpty) Some(bracketedPairs.max) else None
+
+      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      val frontier =
+        f"""{"scale":$benchScale,"limit_per_site":$benchLimit,"urls":$urlsHigh,""" +
+          f""""cpus_low":$cpusLow,"secs_low":$secsLow%.2f,"urls_per_sec_low":$thrLow%.0f,""" +
+          f""""cpus_high":$cpusHigh,"secs_high":$secsHigh%.2f,"urls_per_sec_high":$thrHigh%.0f,""" +
+          f""""scaling_efficiency":$efficiency%.3f,""" +
+          f""""scaling_efficiency_median":$efficiencyMedian%.3f,""" +
+          s""""pinned_cores":$pin,""" +
+          (if (burnsLow.nonEmpty)
+            f""""hardware_alu_scaling_now":${burnsLow.map(_._1).min / burnsHigh.map(_._1).min}%.3f,""" +
+              f""""hardware_membw_scaling_now":${burnsLow.map(_._2).min / burnsHigh.map(_._2).min}%.3f,""" +
+              s""""burn_low_sec":${burnsLow.map(b => f"${b._1}%.2f").mkString("[", ",", "]")},""" +
+              s""""burn_high_sec":${burnsHigh.map(b => f"${b._1}%.2f").mkString("[", ",", "]")},""" +
+              s""""membw_low_sec":${burnsLow.map(b => f"${b._2}%.2f").mkString("[", ",", "]")},""" +
+              s""""membw_high_sec":${burnsHigh.map(b => f"${b._2}%.2f").mkString("[", ",", "]")},"""
+           else "") +
+          s""""identical_output":$identical,""" +
+          s""""protocol":"quiet_gated_pairs",""" +
+          s""""rounds":${runsLow.size},""" +
+          s""""pairs_skipped":$skipped,""" +
+          s""""quiet_target":$quietTarget,""" +
+          s""""pair_quiet":${pairLowQuiet.map(_.toString).mkString("[", ",", "]")},""" +
+          s""""pair_bracketed_quiet":${pairQuiet.map(_.toString).mkString("[", ",", "]")},""" +
+          s""""pair_eff":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
+          (if (pairMembw.nonEmpty)
+            s""""pair_membw_eff":${pairMembw.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
+              s""""pair_membw_mid":${midMembw.map(e => if (e.isNaN) "null" else f"$e%.3f").mkString("[", ",", "]")},""" +
+              s""""pair_membw_post":${postMembw.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
+              s""""pair_eff_normalized":${pairNorm.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
+              f""""pair_eff_normalized_best":${pairNorm.max}%.3f,""" +
+              f""""quiet_membw_threshold":$quietThreshold%.2f,""" +
+              s""""during_low_sec":${duringLow.map(d => if (d.isNaN) "null" else f"$d%.3f").mkString("[", ",", "]")},""" +
+              s""""during_high_sec":${duringHigh.map(d => if (d.isNaN) "null" else f"$d%.3f").mkString("[", ",", "]")},""" +
+              f""""during_band":$duringBand%.2f,""" +
+              bestQuiet.map(q => f""""best_quiet_pair_eff":$q%.3f,""").getOrElse(
+                s""""best_quiet_pair_eff":null,""") +
+              bestBracketed.map(q => f""""best_bracketed_pair_eff":$q%.3f,""").getOrElse(
+                s""""best_bracketed_pair_eff":null,""")
+           else "") +
+          s""""runs_low_sec":${runsLowAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
+          s""""runs_high_sec":${runsHighAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
+          f""""seen_rows":${fpHigh._4}}"""
+      val json =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":$frontier}"""
+      println(json)
+      // the artifact also lands whole in its own file: sbt log tails get
+      // truncated mid-JSON (the round-3 artifact lost its head), a file read
+      // parses from byte 0
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] artifact write: ${e.getMessage}") }
+    }
     var round = 0
     var stop = false
     while (!stop) {
@@ -477,100 +574,13 @@ object Bench {
         s" eligible: ${pairLowQuiet.last} bracketed: ${pairQuiet.last}" +
         s" [pre=$preQuiet mid=$midQuiet post=$postQuiet" +
         f" durLow=${duringLow.last}%.3f durHigh=${duringHigh.last}%.3f])")
+      emitArtifact()
       round += 1
       }
       }
     }
     require((runsLow ++ runsHigh).map(_._2).distinct.size == 1,
       s"nondeterministic crawl across runs/parallelism levels")
-
-    val (secsLow, fpLow, urlsLow) = runsLow.minBy(_._1)
-    val (secsHigh, fpHigh, urlsHigh) = runsHigh.minBy(_._1)
-    val runsLowAll = runsLow.map(_._1).toSeq
-    val runsHighAll = runsHigh.map(_._1).toSeq
-
-    val thrLow = urlsLow / secsLow
-    val thrHigh = urlsHigh / secsHigh
-    val efficiency = (thrHigh / thrLow) / (cpusHigh.toDouble / cpusLow)
-    // median-pair estimator alongside best-pair: robust to asymmetric host
-    // noise (a lucky fast low-side run depresses the best-pair ratio)
-    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
-    val efficiencyMedian =
-      (median(runsLow.map(_._1).toSeq) / median(runsHigh.map(_._1).toSeq)) /
-        (cpusHigh.toDouble / cpusLow)
-    val identical = fpLow == fpHigh && urlsLow == urlsHigh
-
-    // Per-pair estimators: pair i's crawl efficiency against its own
-    // same-moment memory-bandwidth ceiling. The membw stream is fixed work
-    // per thread, so perfect hardware gives ratio 1.0 — the ceiling this
-    // box can express right now. pair_eff / ceiling ~ 1.0 means the crawl
-    // scales as well as the machine's memory bus does.
-    val speedup = cpusHigh.toDouble / cpusLow
-    val pairEff = runsLow.zip(runsHigh).map { case (l, h) => (l._1 / h._1) / speedup }.toSeq
-    val pairMembw = burnsLow.zip(burnsHigh).map { case (l, h) => l._2 / h._2 }.toSeq
-    val pairNorm = pairEff.zip(pairMembw).map { case (e, m) => e / m }
-    // Gate evidence = pairs whose LOW-side window was verifiably quiet
-    // (pre+mid probes and during-low sampler): noise there would INFLATE
-    // the ratio, so ruling it out makes the pair an honest measurement;
-    // residual high-side noise can only deflate it (lower bound). The
-    // bracketed estimator (all probes + both samplers quiet) rides along
-    // as the stricter round-3 criterion.
-    val eligiblePairs = pairEff.zip(pairLowQuiet.toSeq).filter(_._2).map(_._1)
-    val bestQuiet = if (eligiblePairs.nonEmpty) Some(eligiblePairs.max) else None
-    val bracketedPairs = pairEff.zip(pairQuiet.toSeq).filter(_._2).map(_._1)
-    val bestBracketed = if (bracketedPairs.nonEmpty) Some(bracketedPairs.max) else None
-
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val frontier =
-      f"""{"scale":$benchScale,"limit_per_site":$benchLimit,"urls":$urlsHigh,""" +
-        f""""cpus_low":$cpusLow,"secs_low":$secsLow%.2f,"urls_per_sec_low":$thrLow%.0f,""" +
-        f""""cpus_high":$cpusHigh,"secs_high":$secsHigh%.2f,"urls_per_sec_high":$thrHigh%.0f,""" +
-        f""""scaling_efficiency":$efficiency%.3f,""" +
-        f""""scaling_efficiency_median":$efficiencyMedian%.3f,""" +
-        s""""pinned_cores":$pin,""" +
-        (if (burnsLow.nonEmpty)
-          f""""hardware_alu_scaling_now":${burnsLow.map(_._1).min / burnsHigh.map(_._1).min}%.3f,""" +
-            f""""hardware_membw_scaling_now":${burnsLow.map(_._2).min / burnsHigh.map(_._2).min}%.3f,""" +
-            s""""burn_low_sec":${burnsLow.map(b => f"${b._1}%.2f").mkString("[", ",", "]")},""" +
-            s""""burn_high_sec":${burnsHigh.map(b => f"${b._1}%.2f").mkString("[", ",", "]")},""" +
-            s""""membw_low_sec":${burnsLow.map(b => f"${b._2}%.2f").mkString("[", ",", "]")},""" +
-            s""""membw_high_sec":${burnsHigh.map(b => f"${b._2}%.2f").mkString("[", ",", "]")},"""
-         else "") +
-        s""""identical_output":$identical,""" +
-        s""""protocol":"quiet_gated_pairs",""" +
-        s""""rounds":${runsLow.size},""" +
-        s""""pairs_skipped":$skipped,""" +
-        s""""quiet_target":$quietTarget,""" +
-        s""""pair_quiet":${pairLowQuiet.map(_.toString).mkString("[", ",", "]")},""" +
-        s""""pair_bracketed_quiet":${pairQuiet.map(_.toString).mkString("[", ",", "]")},""" +
-        s""""pair_eff":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
-        (if (pairMembw.nonEmpty)
-          s""""pair_membw_eff":${pairMembw.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
-            s""""pair_membw_mid":${midMembw.map(e => if (e.isNaN) "null" else f"$e%.3f").mkString("[", ",", "]")},""" +
-            s""""pair_membw_post":${postMembw.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
-            s""""pair_eff_normalized":${pairNorm.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
-            f""""pair_eff_normalized_best":${pairNorm.max}%.3f,""" +
-            f""""quiet_membw_threshold":$quietThreshold%.2f,""" +
-            s""""during_low_sec":${duringLow.map(d => if (d.isNaN) "null" else f"$d%.3f").mkString("[", ",", "]")},""" +
-            s""""during_high_sec":${duringHigh.map(d => if (d.isNaN) "null" else f"$d%.3f").mkString("[", ",", "]")},""" +
-            f""""during_band":$duringBand%.2f,""" +
-            bestQuiet.map(q => f""""best_quiet_pair_eff":$q%.3f,""").getOrElse(
-              s""""best_quiet_pair_eff":null,""") +
-            bestBracketed.map(q => f""""best_bracketed_pair_eff":$q%.3f,""").getOrElse(
-              s""""best_bracketed_pair_eff":null,""")
-         else "") +
-        s""""runs_low_sec":${runsLowAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
-        s""""runs_high_sec":${runsHighAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
-        f""""seen_rows":${fpHigh._4}}"""
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":$frontier}"""
-    println(json)
-    // the artifact also lands whole in its own file: sbt log tails get
-    // truncated mid-JSON (the round-3 artifact lost its head), a file read
-    // parses from byte 0
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] artifact write: ${e.getMessage}") }
+    emitArtifact()
   }
 }
