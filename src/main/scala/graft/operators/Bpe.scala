@@ -39,6 +39,10 @@ object Bpe {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = wordCounts.sparkSession
     import spark.implicits._
+    // checkpoint ONCE at the word-type table (cuts the corpus scan out of
+    // every round); rounds then chain cheap kernel steps over |vocab| rows
+    // — round k's plan is k narrow projections, re-checkpointed only every
+    // 16 rounds so a deep merge run never grows an unbounded lineage
     var words = wordCounts.select(
         concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
         col("n"))
@@ -63,8 +67,8 @@ object Bpe {
         merges += ((round, l, r, l + r, c))
         words = words.select(
             K.bpe_merge_step(col("syms"), lit(l), lit(r)).as("syms"), col("n"))
-          .localCheckpoint()
         round += 1
+        if (round % 16 == 0) words = words.localCheckpoint()
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
