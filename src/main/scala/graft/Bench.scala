@@ -530,8 +530,22 @@ object Bench {
       if (pin) {
         Thread.sleep(8000L)
         var ml = burnRun(cpusLow); var mh = burnRun(cpusHigh)
-        if (!inBand(ml._2 / mh._2)) {
+        // nap-and-retry like the pre-probe (bounded): a burst that arrives
+        // AFTER the low run finished lands on the probe, not the
+        // measurement — rejecting the pair for it is the same own-cleanup /
+        // ambient-burst false negative the post-probe showed (3/3 pairs in
+        // one hunt read quiet-pre + flat during-low + noisy-mid in BOTH
+        // band directions). The low run's interior stays covered by the
+        // 5 s during-sampler; the probe only needs to certify the bus once
+        // settled. A burst that genuinely overlapped the low run's tail
+        // shows in the sampler median band or keeps the probe noisy past
+        // the nap budget.
+        var midWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MID_WAIT_SEC", "60").toInt
+        while (midWait > 0 && !inBand(ml._2 / mh._2)) {
+          System.err.println(f"[bench] mid-pair noisy (membw ${ml._2 / mh._2}%.2f), " +
+            s"napping 10s (${midWait}s mid budget left)")
           Thread.sleep(10000L)
+          midWait -= 10
           ml = burnRun(cpusLow); mh = burnRun(cpusHigh)
         }
         midQuiet = inBand(ml._2 / mh._2)
