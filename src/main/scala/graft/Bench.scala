@@ -282,6 +282,34 @@ object Bench {
       }
     }
     val duringBand = sys.env.getOrElse("SPARK_GRAFT_BENCH_DURING_BAND", "1.2").toDouble
+    // HISTORICAL sampler baselines (tools/bench_baselines.json, keyed by
+    // scale:cpusLow:cpusHigh): the during-run sampler reads crawl+host bus
+    // traffic, so its cross-round minimum is the quiet floor — but a run
+    // whose EVERY round landed in sustained contention has an elevated
+    // in-run minimum and would label degraded pairs quiet (observed: an
+    // all-day-noisy session read durLow 0.028-0.033 against a true quiet
+    // floor of 0.023, with crawls 15-40% degraded under in-band probes).
+    // Persisting the campaign-best minima makes "quiet" ABSOLUTE on this
+    // fixed host. Strictly tightening: a lower floor only ever REJECTS
+    // more pairs, never admits an inflated one; the file updates only
+    // when a run observes a new minimum (honest calibration data, no
+    // favorable selection).
+    val stateKey = s"$benchScale:$cpusLow:$cpusHigh"
+    val statePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STATE", "tools/bench_baselines.json"))
+    val (histDurLow, histDurHigh) = {
+      try {
+        val node = graft.sinks.SiteJson.mapper.readTree(
+          java.nio.file.Files.readString(statePath)).get(stateKey)
+        if (node == null) (Double.NaN, Double.NaN)
+        else (node.get("dur_low").asDouble(Double.NaN),
+          node.get("dur_high").asDouble(Double.NaN))
+      } catch { case _: Throwable => (Double.NaN, Double.NaN) }
+    }
+    def withHist(runMin: Double, hist: Double): Double =
+      if (hist.isNaN) runMin
+      else if (runMin.isNaN) hist
+      else math.min(runMin, hist)
     val pairQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val pairLowQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val duringLow = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -301,11 +329,35 @@ object Bench {
     // a later, quieter round can lower a level's baseline and retroactively
     // reveal an earlier pair as mid-pair-noisy — recompute the quiet labels
     // from scratch after every round
-    def recomputeQuiet(): Unit = {
+    def persistBaselines(): Unit = {
       val ok = duringLow.filterNot(_.isNaN)
-      val bl = if (ok.isEmpty) Double.NaN else ok.min
       val okH = duringHigh.filterNot(_.isNaN)
-      val bh = if (okH.isEmpty) Double.NaN else okH.min
+      if (ok.isEmpty || okH.isEmpty) return
+      val (nl, nh) = (withHist(ok.min, histDurLow), withHist(okH.min, histDurHigh))
+      if (nl < histDurLow - 1e-9 || nh < histDurHigh - 1e-9 ||
+          histDurLow.isNaN || histDurHigh.isNaN) {
+        try {
+          val root =
+            if (java.nio.file.Files.exists(statePath))
+              graft.sinks.SiteJson.mapper.readTree(
+                java.nio.file.Files.readString(statePath))
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            else graft.sinks.SiteJson.mapper.createObjectNode()
+          val entry = root.putObject(stateKey)
+          entry.put("dur_low", math.floor(nl * 1000) / 1000)
+          entry.put("dur_high", math.floor(nh * 1000) / 1000)
+          java.nio.file.Files.writeString(statePath, root.toPrettyString)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] baseline persist: ${e.getMessage}") }
+      }
+    }
+    def recomputeQuiet(): Unit = {
+      // the quiet floor is the better of this run's minimum and the
+      // persisted campaign-best (see histBaselines above)
+      val ok = duringLow.filterNot(_.isNaN)
+      val bl = withHist(if (ok.isEmpty) Double.NaN else ok.min, histDurLow)
+      val okH = duringHigh.filterNot(_.isNaN)
+      val bh = withHist(if (okH.isEmpty) Double.NaN else okH.min, histDurHigh)
       var i = 0
       while (i < pairQuiet.size) {
         val durLowOk = duringLow(i).isNaN || duringLow(i) <= bl * duringBand
@@ -387,6 +439,7 @@ object Bench {
     // (a log-tail capture keeps the final complete line).
     def emitArtifact(): Unit = {
       if (runsLow.isEmpty || runsHigh.isEmpty) return
+      persistBaselines()
 
       val (secsLow, fpLow, urlsLow) = runsLow.minBy(_._1)
       val (secsHigh, fpHigh, urlsHigh) = runsHigh.minBy(_._1)
@@ -459,6 +512,8 @@ object Bench {
               s""""during_low_sec":${duringLow.map(d => if (d.isNaN) "null" else f"$d%.3f").mkString("[", ",", "]")},""" +
               s""""during_high_sec":${duringHigh.map(d => if (d.isNaN) "null" else f"$d%.3f").mkString("[", ",", "]")},""" +
               f""""during_band":$duringBand%.2f,""" +
+              s""""during_floor_low":${if (histDurLow.isNaN) "null" else f"$histDurLow%.3f"},""" +
+              s""""during_floor_high":${if (histDurHigh.isNaN) "null" else f"$histDurHigh%.3f"},""" +
               bestQuiet.map(q => f""""best_quiet_pair_eff":$q%.3f,""").getOrElse(
                 s""""best_quiet_pair_eff":null,""") +
               bestBracketed.map(q => f""""best_bracketed_pair_eff":$q%.3f,""").getOrElse(
