@@ -58,6 +58,7 @@ object Compaction {
       targetBytes: Long = 128L << 20,
       maxPartitionsPerRun: Int = Int.MaxValue): Seq[CompactResult] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    recoverInterrupted(dir)
     val frag = partitionStats(dir).filter(_.files > maxFiles)
       .take(maxPartitionsPerRun)
     frag.map { ps =>
@@ -105,6 +106,30 @@ object Compaction {
       deleteRecursively(Paths.get(dir, "snapshots", s"v$v"))
     }
     expire
+  }
+
+  /**
+   * Crash recovery for the two-rename swap: a crash after `pdir -> .old`
+   * but before `staged -> pdir` leaves the partition missing with its
+   * data intact in `.compact_old_*`. On entry, any such orphan is rolled
+   * back (old restored when the partition is absent, otherwise the old
+   * copy is a completed swap's leftover and is deleted), and stale
+   * staging dirs from aborted writes are cleared.
+   */
+  private def recoverInterrupted(dir: String): Unit = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return
+    val entries = {
+      val s = Files.list(root)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+    }
+    entries.filter(_.startsWith(".compact_old_")).foreach { n =>
+      val part = root.resolve(n.stripPrefix(".compact_old_"))
+      if (!Files.exists(part)) Files.move(root.resolve(n), part)
+      else deleteRecursively(root.resolve(n))
+    }
+    entries.filter(_.startsWith(".compact_tmp_")).foreach(n =>
+      deleteRecursively(root.resolve(n)))
   }
 
   private def deleteRecursively(p: Path): Unit = {

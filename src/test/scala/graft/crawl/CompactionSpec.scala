@@ -66,6 +66,24 @@ class CompactionSpec extends SparkSuite {
     assert(Compaction.compact(spark, dir, maxFiles = 3) === Seq.empty)
   }
 
+  test("an interrupted swap (partition moved aside, staging not yet in) recovers") {
+    val dir = Files.createTempDirectory("graft-compact3").toString
+    writeFragmentedCache(dir)
+    val before = spark.read.parquet(dir).count()
+    // simulate the crash window: partition renamed aside, staging present
+    Files.move(Paths.get(dir, "site_id=a"), Paths.get(dir, ".compact_old_site_id=a"))
+    Files.createDirectories(Paths.get(dir, ".compact_tmp_site_id=a"))
+    val res = Compaction.compact(spark, dir, maxFiles = 3)
+    // recovery restored site a, then compaction proceeded normally
+    assert(res.map(_.partition) === Seq("site_id=a"))
+    assert(spark.read.parquet(dir).count() === before)
+    // a completed swap's leftover .old is deleted, partition kept
+    Files.createDirectories(Paths.get(dir, ".compact_old_site_id=b"))
+    Compaction.compact(spark, dir, maxFiles = 3)
+    assert(!Files.exists(Paths.get(dir, ".compact_old_site_id=b")))
+    assert(spark.read.parquet(dir).count() === before)
+  }
+
   test("expireSnapshots keeps the newest K and CURRENT stays readable") {
     val dir = Files.createTempDirectory("graft-expire").toString
     val cfg = Crawl.Config(scale = 5, limitPerSite = 3)
