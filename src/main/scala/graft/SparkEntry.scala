@@ -639,6 +639,21 @@ object SparkEntry {
     "q81_pmi" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text", minCount = 5L)),
 
+    // ---- text canonicalization for dedup keying (NFC + lowercase +
+    // whitespace collapse). The corpus is ASCII-lowercase already, so the
+    // query builds hard input deterministically per row: mixed case, tab/
+    // newline runs, decomposed Korean jamo (U+1100 U+1161 U+110B U+1166
+    // -> 가에) and a combining acute (CaFE + U+0301 -> café) — every
+    // interesting path of the kernel is value-checked against DuckDB's
+    // nfc_normalize ----
+    "q82_normalize_text" -> { (s, dir) =>
+      val messy = concat(
+        lit("  MiXeD \t"), upper(substring(col("text"), 1, 40)), lit("\n"),
+        lit("\u1100\u1161\u110B\u1166"), lit(" CaFE\u0301"), lit("  tail  "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), GraftFunctions.normalize_text(messy).as("norm"))
+    },
+
     // ---- change-rate-aware recrawl scheduling (daemon cron generalized:
     // per-site cadence from observed posting rate, integer-exact) ----
     "q79_recrawl" -> ((s, dir) =>
@@ -801,6 +816,14 @@ object SparkEntry {
         |FROM f CROSS JOIN nu CROSS JOIN nb
         |JOIN uni ux ON ux.w = split_part(f.bigram, ' ', 1)
         |JOIN uni uy ON uy.w = split_part(f.bigram, ' ', 2)""".stripMargin,
+
+    // chr(4352,4449,4363,4454) = decomposed 가에; chr(769) = combining acute
+    "q82_normalize_text" ->
+      """SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(
+        |  '  MiXeD ' || chr(9) || upper(substr(text, 1, 40)) || chr(10) ||
+        |  chr(4352) || chr(4449) || chr(4363) || chr(4454) ||
+        |  ' CaFE' || chr(769) || '  tail  ')), '\s+', ' ', 'g')) AS norm
+        |FROM documents""".stripMargin,
 
     "q79_recrawl" ->
       """WITH a AS (SELECT o_orderpriority AS site_id, count(*) AS n_posts,

@@ -28,6 +28,7 @@ object Kernels {
   def slugify(x: UTF8String): UTF8String = u(TextKernel.slugify(s(x)))
   def stripParens(x: UTF8String): UTF8String = u(TextKernel.stripParens(s(x)))
   def normalizeWs(x: UTF8String): UTF8String = u(TextKernel.normalizeWs(s(x)))
+  def normalizeText(x: UTF8String): UTF8String = u(TextKernel.normalizeText(s(x)))
   def normalizeDashes(x: UTF8String): UTF8String = u(TextKernel.normalizeDashes(s(x)))
   def icsEscape(x: UTF8String): UTF8String = u(TextKernel.icsEscape(s(x)))
   def icsFold(x: UTF8String): UTF8String = u(TextKernel.icsFold(s(x)))
@@ -441,6 +442,8 @@ object GraftFunctions {
   def slugify(c: Column): Column = invoke1("slugify", c)
   def strip_parens(c: Column): Column = invoke1("stripParens", c)
   def normalize_ws(c: Column): Column = invoke1("normalizeWs", c)
+  /** NFC + ROOT-locale lowercase + whitespace collapse + trim (dedup keying). */
+  def normalize_text(c: Column): Column = invoke1("normalizeText", c)
   def normalize_dashes(c: Column): Column = invoke1("normalizeDashes", c)
   def ics_escape(c: Column): Column = invoke1("icsEscape", c)
   def ics_fold(c: Column): Column = invoke1("icsFold", c)
@@ -565,6 +568,7 @@ object GraftFunctions {
     reg1("graft_slugify", "slugify")
     reg1("strip_parens", "stripParens")
     reg1("normalize_ws", "normalizeWs")
+    reg1("normalize_text", "normalizeText")
     reg1("normalize_dashes", "normalizeDashes")
     reg1("ics_escape", "icsEscape")
     reg1("ics_fold", "icsFold")

@@ -12,6 +12,38 @@ object TextKernel {
     if (s == null) null else s.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
 
   /**
+   * Full text canonicalization for dedup keying (the CCNet/Dolma-family
+   * normalize step ahead of exact or fuzzy dedup): Unicode NFC
+   * composition, ROOT-locale lowercasing, ASCII-whitespace-run collapse
+   * to single spaces, trim. Order matters: NFC first (composition can
+   * create cased characters — `E` + combining acute -> `É`), then case,
+   * then whitespace. Decomposed Korean jamo compose to syllable blocks
+   * (U+1100 U+1161 -> 가), so visually identical strings share one key.
+   * One pass, one output buffer; mirrored by DuckDB
+   * `trim(regexp_replace(lower(nfc_normalize(x)), '\s+', ' ', 'g'))`.
+   */
+  def normalizeText(s: String): String = {
+    if (s == null) return null
+    val lower = java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lower.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+        if (sb.length > 0) pendingSpace = true // leading runs drop, inner runs collapse
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString // trailing run never flushed = right trim
+  }
+
+  /**
    * Slugify (ssu-academic-calendar lib.rs:349-369): lowercase; runs of
    * non-alphanumeric chars -> single '-'; trim '-'; empty -> "event".
    * Alphanumeric here means Unicode letter-or-digit (the reference uses

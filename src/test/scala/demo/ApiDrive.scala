@@ -25,7 +25,8 @@ object ApiDrive {
       SELECT doc_id,
              url_canonicalize(concat('HTTP://Example.COM:80/view.php?b=', doc_id, '&a=1#f')) AS canon,
              url_query_param(concat('http://h/p?wr_id=', doc_id), 'wr_id') AS wr_id,
-             graft_slugify(concat('Doc Title ', doc_id, ' (draft)')) AS slug
+             graft_slugify(concat('Doc Title ', doc_id, ' (draft)')) AS slug,
+             normalize_text(concat('  MiXeD \t', upper(substring(text, 1, 20)), '  CaFÉ ')) AS norm
       FROM documents LIMIT 3""").show(false)
 
     // 2. Column API + codegen check

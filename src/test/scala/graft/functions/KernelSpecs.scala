@@ -101,6 +101,19 @@ class TextKernelSpec extends AnyFunSuite {
     assert(normalizeWs("  a \t b\n c ") === "a b c")
   }
 
+  test("normalizeText: NFC + lowercase + whitespace collapse + trim") {
+    // decomposed jamo compose to syllable blocks, then survive lowercase
+    assert(normalizeText("가에") === "가에")
+    // composition happens BEFORE lowercase: E + combining acute -> É -> é
+    assert(normalizeText("CaFÉ") === "café")
+    assert(normalizeText("  MiXeD \t CASE\n\n x  ") === "mixed case x")
+    // precomposed and decomposed forms share one key
+    assert(normalizeText("CAFÉ") === normalizeText("CaFÉ"))
+    assert(normalizeText("") === "")
+    assert(normalizeText("   ") === "")
+    assert(normalizeText(null) === null)
+  }
+
   test("normalizeDashes maps unicode dashes to tilde") {
     assert(normalizeDashes("3.2 – 3.4 — x － y 〜 z") === "3.2 ~ 3.4 ~ x ~ y ~ z")
   }
