@@ -654,6 +654,15 @@ object SparkEntry {
         .select(col("doc_id"), GraftFunctions.normalize_text(messy).as("norm"))
     },
 
+    // ---- deterministic k-means corpus clustering (semantic curation:
+    // SemDeDup / cluster-balanced sampling). The whole Lloyd loop runs in
+    // micro-unit INTEGER arithmetic (quantized vectors, floor-div
+    // centroid means, exact integer squared-L2), so the DuckDB oracle
+    // replays it bit-for-bit — float accumulation order never enters ----
+    "q83_kmeans" -> ((s, dir) =>
+      Similarity.kmeansClusters(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3)),
+
     // ---- change-rate-aware recrawl scheduling (daemon cron generalized:
     // per-site cadence from observed posting rate, integer-exact) ----
     "q79_recrawl" -> ((s, dir) =>
@@ -816,6 +825,41 @@ object SparkEntry {
         |FROM f CROSS JOIN nu CROSS JOIN nb
         |JOIN uni ux ON ux.w = split_part(f.bigram, ' ', 1)
         |JOIN uni uy ON uy.w = split_part(f.bigram, ' ', 2)""".stripMargin,
+
+    // the oracle replays the integer Lloyd loop of kmeansClusters as an
+    // unrolled CTE chain (the q76 BPE technique): quantize -> md5-order
+    // seeds -> [assign -> floor-div centroid update] x iters. Every value
+    // is BIGINT, so equality is exact, not approximate.
+    "q83_kmeans" -> {
+      val (dim, k, iters) = (64, 8, 3)
+      def assign(m: Int) =
+        s"""a$m AS (SELECT vec_id, c, d FROM (
+           |  SELECT q.vec_id, ct.c,
+           |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+           |      i -> (q.qv[i] - ct.qv[i]) * (q.qv[i] - ct.qv[i]))) AS BIGINT) AS d
+           |  FROM q CROSS JOIN c${m - 1} ct) t
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1)""".stripMargin
+      def update(m: Int) =
+        s"""u$m AS (SELECT a.c, i.i, CAST(sum(q.qv[i.i]) AS BIGINT) AS s, count(*) AS n
+           |  FROM a$m a JOIN q USING (vec_id)
+           |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) i
+           |  GROUP BY a.c, i.i),
+           |c$m AS (SELECT p.c,
+           |  CASE WHEN count(u.i) = 0 THEN any_value(p.qv)
+           |       ELSE list(CAST((u.s - ((u.s % u.n + u.n) % u.n)) / u.n AS BIGINT)
+           |                 ORDER BY u.i) END AS qv
+           |  FROM c${m - 1} p LEFT JOIN u$m u ON u.c = p.c GROUP BY p.c)""".stripMargin
+      val ctes = Seq(
+        s"""q AS (SELECT vec_id, list_transform(embedding,
+           |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+           |  FROM embeddings)""".stripMargin,
+        s"""c0 AS (SELECT c, qv FROM (SELECT qv,
+           |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+           |  FROM q) WHERE c < $k)""".stripMargin) ++
+        (1 until iters).flatMap(m => Seq(assign(m), update(m))) :+ assign(iters)
+      "WITH " + ctes.mkString(",\n") +
+        s"\nSELECT vec_id, c AS cluster, d AS dist_q FROM a$iters"
+    },
 
     // chr(4352,4449,4363,4454) = decomposed 가에; chr(769) = combining acute
     "q82_normalize_text" ->

@@ -386,6 +386,46 @@ object Kernels {
   }
 
   /**
+   * Micro-unit quantization of a double vector: `q_i = floor(x_i * 10^6 +
+   * 0.5)` as long (round-half-up in exact double arithmetic, identical in
+   * every IEEE-754 engine). The integer domain makes downstream k-means
+   * centroid math ENGINE-EXACT: floor-div means and squared-L2 distances
+   * are pure 64-bit integer expressions, so a SQL oracle reproduces the
+   * clustering bit-for-bit — no float-accumulation-order hazards. DuckDB
+   * mirror: `list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000
+   * + 0.5) AS BIGINT))`.
+   */
+  def quantizeVec(vec: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(vec.getDouble(i) * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /**
+   * Exact squared L2 distance between equal-length long vectors. With
+   * micro-unit inputs (|q| <= ~10^7) a 64-dim sum stays far below 2^63 —
+   * overflow-free by construction at embedding scale.
+   */
+  def l2sqQ(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /**
    * 64-bit SimHash over lowercase whitespace tokens: per-bit vote of each
    * token's FNV-1a hash; sign of the vote decides the output bit.
    */
@@ -545,6 +585,23 @@ object GraftFunctions {
       inputTypes = Seq(
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+
+  /** Micro-unit integer quantization of a double vector (see Kernels.quantizeVec). */
+  def quantize_vec(c: Column): Column = ColumnBridge.column(
+    StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      "quantizeVec", Seq(ColumnBridge.expression(c)),
+      inputTypes = Seq(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+
+  /** Exact squared L2 distance between two long vectors (see Kernels.l2sqQ). */
+  def l2sq_q(a: Column, b: Column): Column = ColumnBridge.column(
+    StaticInvoke(K, org.apache.spark.sql.types.LongType, "l2sqQ",
+      Seq(ColumnBridge.expression(a), ColumnBridge.expression(b)),
+      inputTypes = Seq(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
 
   /** Register all graft functions for SQL use (`SELECT url_canonicalize(u) ...`). */
   def registerAll(spark: SparkSession): Unit = {

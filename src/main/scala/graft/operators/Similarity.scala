@@ -383,4 +383,65 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
   }
+
+  /**
+   * Deterministic k-means corpus clustering — the semantic-curation layer
+   * (SemDeDup / cluster-balanced sampling family): cluster assignments
+   * drive per-topic rebalancing, diversity sampling, and per-cluster
+   * quality stats over an embedding column.
+   *
+   * ENGINE-EXACT by construction: vectors are micro-unit-quantized to
+   * longs ([[GraftFunctions.quantize_vec]]), centroids are floor-div
+   * integer means, and distances are exact integer squared-L2
+   * ([[GraftFunctions.l2sq_q]]) — every number in the Lloyd loop is a
+   * 64-bit integer, so a SQL oracle replays the whole clustering
+   * bit-for-bit (q83) with zero float-accumulation-order hazards.
+   * Determinism: init centroids are the k md5-order-smallest rows (the
+   * engine-portable hash order used by [[Sampling.hashSample]]); argmin
+   * ties break to the smallest cluster index (first position of the array
+   * min); a cluster that loses all members keeps its previous centroid.
+   *
+   * Scale shape (10^10 rows): the quantized corpus is staged ONCE
+   * (localCheckpoint — reclaimed with the plan); each iteration broadcasts
+   * the k*d centroid matrix out as DATA (single-row table, plan O(1) in
+   * k) and aggregates k*d longs back — after map-side combine the
+   * (cluster, dim) shuffle is k*d rows PER PARTITION, so the corpus
+   * itself never shuffles and no driver structure exceeds k*d longs.
+   *
+   * @param iters number of assignment passes (iters-1 centroid updates)
+   */
+  def kmeansClusters(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val quant = df.select(col(idCol).as("_id"),
+      GraftFunctions.quantize_vec(col(vecCol).cast("array<double>")).as("_q"))
+      .localCheckpoint()
+    var centroids: Array[Seq[Long]] = quant
+      .orderBy(md5(col("_id").cast("string")), col("_id")).limit(k)
+      .collect().map(_.getSeq[Long](1))
+    def assigned: DataFrame = quant
+      .crossJoin(broadcast(Seq(Tuple1(centroids.map(_.toSeq).toSeq)).toDF("_cents")))
+      .withColumn("_dists", transform(col("_cents"),
+        c => GraftFunctions.l2sq_q(col("_q"), c)))
+      .withColumn("cluster",
+        (array_position(col("_dists"), array_min(col("_dists"))) - 1).cast("int"))
+      .withColumn("dist_q", array_min(col("_dists")))
+    (1 until iters).foreach { _ =>
+      val byC = assigned
+        .select(col("cluster").as("_c"), posexplode(col("_q")).as(Seq("_pos", "_x")))
+        .groupBy("_c", "_pos")
+        .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+        // floored integer mean fld(s, n): the numerator is made divisible
+        // by n first, so `div` is exact and sign-correct in every engine
+        .withColumn("_m", expr("(_s - ((_s % _n + _n) % _n)) div _n"))
+        .groupBy("_c")
+        .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_sm"))
+        .select(col("_c"), transform(col("_sm"), e => e.getField("_m")).as("_centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      centroids = centroids.indices.map(i => byC.getOrElse(i, centroids(i))).toArray
+    }
+    assigned.select(col("_id").as(idCol), col("cluster"), col("dist_q"))
+  }
 }

@@ -343,4 +343,55 @@ class DedupSimilaritySpec extends SparkSuite {
       .as[(Long, Long, Double)].collect().sorted
     assert(out === Seq((2L, 1L, 1.0)))
   }
+
+  test("kmeans recovers well-separated planted clusters") {
+    // 3 planted centers far apart in 4-dim space, 30 points each with a
+    // small deterministic wobble — Lloyd must put every point with its
+    // plant, whatever the initial seeds were
+    val pts = for (c <- 0 until 3; i <- 0 until 30) yield {
+      val base = Array.fill(4)(0.0f)
+      base(c) = 10.0f
+      (c * 100L + i, base.updated(3, (i % 5) * 0.01f).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansClusters(df, "vec_id", "embedding", k = 3, iters = 5)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length === 90)
+    // each plant maps to exactly one cluster label and vice versa
+    val plantToCluster = out.groupBy(_._1 / 100).map { case (p, rows) =>
+      p -> rows.map(_._2).distinct
+    }
+    assert(plantToCluster.values.forall(_.size === 1), "a plant split across clusters")
+    assert(plantToCluster.values.flatten.toSet.size === 3, "plants merged into one cluster")
+  }
+
+  test("kmeans is deterministic and duplicate vectors share a cluster") {
+    val a = Similarity.kmeansClusters(emb, "vec_id", "embedding", k = 4, iters = 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    val b = Similarity.kmeansClusters(emb, "vec_id", "embedding", k = 4, iters = 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_._2).distinct.length === 4)
+    // a duplicated vector must land in the duplicate's cluster with dist 0 tie
+    val dup = emb.limit(1).withColumn("vec_id", col("vec_id") + 1000000L)
+    val withDup = emb.unionByName(dup)
+    val c = Similarity.kmeansClusters(withDup, "vec_id", "embedding", k = 4, iters = 3)
+      .as[(Long, Int, Long)].collect()
+    val orig = c.find(_._1 === emb.select("vec_id").as[Long].head()).get
+    val copy = c.find(_._1 === orig._1 + 1000000L).get
+    assert(orig._2 === copy._2 && orig._3 === copy._3)
+  }
+
+  test("kmeans survives k larger than the distinct-vector count (empty clusters)") {
+    // 3 identical vectors, k=2: after the first update one centroid owns
+    // everything and the other keeps its seed centroid — no crash, one
+    // non-empty cluster, all points identical assignment
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)), (3L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansClusters(df, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length === 3)
+    assert(out.map(_._2).distinct.length === 1)
+    assert(out.forall(_._3 === 0L))
+  }
 }
