@@ -663,6 +663,13 @@ object SparkEntry {
       Similarity.kmeansClusters(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, iters = 3)),
 
+    // ---- cluster-balanced diversity sampling (SemDeDup selection): cap
+    // each semantic cluster at 20 rows in engine-portable md5 order ----
+    "q84_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 3, perCluster = 20)
+        .select(col("vec_id"), col("label"), col("cluster"))),
+
     // ---- change-rate-aware recrawl scheduling (daemon cron generalized:
     // per-site cadence from observed posting rate, integer-exact) ----
     "q79_recrawl" -> ((s, dir) =>
@@ -757,6 +764,39 @@ object SparkEntry {
    * reads from `b0..b{rounds-1}` (per-round argmax pairs) and/or
    * `w{rounds}` (fully merged words, weight n).
    */
+  /** The q83/q84 oracle's Lloyd replay: CTEs `q` (micro-unit quantized
+    * vectors), `c0` (md5-order seed centroids), then `a1..a<iters>`
+    * assignment steps interleaved with `u/c` floor-div centroid updates —
+    * every value BIGINT, mirroring Similarity.kmeansClusters exactly. */
+  private def kmeansOracleCtes(dim: Int, k: Int, iters: Int): String = {
+    def assign(m: Int) =
+      s"""a$m AS (SELECT vec_id, c, d FROM (
+         |  SELECT q.vec_id, ct.c,
+         |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> (q.qv[i] - ct.qv[i]) * (q.qv[i] - ct.qv[i]))) AS BIGINT) AS d
+         |  FROM q CROSS JOIN c${m - 1} ct) t
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1)""".stripMargin
+    def update(m: Int) =
+      s"""u$m AS (SELECT a.c, i.i, CAST(sum(q.qv[i.i]) AS BIGINT) AS s, count(*) AS n
+         |  FROM a$m a JOIN q USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) i
+         |  GROUP BY a.c, i.i),
+         |c$m AS (SELECT p.c,
+         |  CASE WHEN count(u.i) = 0 THEN any_value(p.qv)
+         |       ELSE list(CAST((u.s - ((u.s % u.n + u.n) % u.n)) / u.n AS BIGINT)
+         |                 ORDER BY u.i) END AS qv
+         |  FROM c${m - 1} p LEFT JOIN u$m u ON u.c = p.c GROUP BY p.c)""".stripMargin
+    val ctes = Seq(
+      s"""q AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings)""".stripMargin,
+      s"""c0 AS (SELECT c, qv FROM (SELECT qv,
+         |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+         |  FROM q) WHERE c < $k)""".stripMargin) ++
+      (1 until iters).flatMap(m => Seq(assign(m), update(m))) :+ assign(iters)
+    ctes.mkString(",\n")
+  }
+
   private def bpeOracle(rounds: Int, finalSelect: String): String = {
     val S = "e'\\x1f'"
     val sb = new StringBuilder
@@ -830,36 +870,18 @@ object SparkEntry {
     // unrolled CTE chain (the q76 BPE technique): quantize -> md5-order
     // seeds -> [assign -> floor-div centroid update] x iters. Every value
     // is BIGINT, so equality is exact, not approximate.
-    "q83_kmeans" -> {
-      val (dim, k, iters) = (64, 8, 3)
-      def assign(m: Int) =
-        s"""a$m AS (SELECT vec_id, c, d FROM (
-           |  SELECT q.vec_id, ct.c,
-           |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
-           |      i -> (q.qv[i] - ct.qv[i]) * (q.qv[i] - ct.qv[i]))) AS BIGINT) AS d
-           |  FROM q CROSS JOIN c${m - 1} ct) t
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1)""".stripMargin
-      def update(m: Int) =
-        s"""u$m AS (SELECT a.c, i.i, CAST(sum(q.qv[i.i]) AS BIGINT) AS s, count(*) AS n
-           |  FROM a$m a JOIN q USING (vec_id)
-           |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) i
-           |  GROUP BY a.c, i.i),
-           |c$m AS (SELECT p.c,
-           |  CASE WHEN count(u.i) = 0 THEN any_value(p.qv)
-           |       ELSE list(CAST((u.s - ((u.s % u.n + u.n) % u.n)) / u.n AS BIGINT)
-           |                 ORDER BY u.i) END AS qv
-           |  FROM c${m - 1} p LEFT JOIN u$m u ON u.c = p.c GROUP BY p.c)""".stripMargin
-      val ctes = Seq(
-        s"""q AS (SELECT vec_id, list_transform(embedding,
-           |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
-           |  FROM embeddings)""".stripMargin,
-        s"""c0 AS (SELECT c, qv FROM (SELECT qv,
-           |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
-           |  FROM q) WHERE c < $k)""".stripMargin) ++
-        (1 until iters).flatMap(m => Seq(assign(m), update(m))) :+ assign(iters)
-      "WITH " + ctes.mkString(",\n") +
-        s"\nSELECT vec_id, c AS cluster, d AS dist_q FROM a$iters"
-    },
+    "q83_kmeans" ->
+      ("WITH " + kmeansOracleCtes(dim = 64, k = 8, iters = 3) +
+        "\nSELECT vec_id, c AS cluster, d AS dist_q FROM a3"),
+
+    // same Lloyd replay + per-cluster md5-rank quota
+    "q84_cluster_sample" ->
+      ("WITH " + kmeansOracleCtes(dim = 64, k = 8, iters = 3) + """,
+        |r AS (SELECT e.vec_id, e.label, a3.c AS cluster,
+        |  row_number() OVER (PARTITION BY a3.c
+        |    ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) AS rk
+        |  FROM embeddings e JOIN a3 ON a3.vec_id = e.vec_id)
+        |SELECT vec_id, label, cluster FROM r WHERE rk <= 20""".stripMargin),
 
     // chr(4352,4449,4363,4454) = decomposed 가에; chr(769) = combining acute
     "q82_normalize_text" ->

@@ -444,4 +444,31 @@ object Similarity {
     }
     assigned.select(col("_id").as(idCol), col("cluster"), col("dist_q"))
   }
+
+  /**
+   * Cluster-balanced diversity sampling (the SemDeDup curation recipe's
+   * selection half): cap every semantic cluster at `perCluster` rows,
+   * keeping each cluster's md5-order prefix — an engine-portable
+   * deterministic "random" pick, the same order [[Sampling.hashSample]]
+   * uses. Dominant topics are trimmed, tail topics survive whole, so the
+   * kept corpus is balanced across the embedding space rather than across
+   * raw frequency. Returns the input rows (all columns) plus `cluster`.
+   *
+   * Scale: one equi-join of the payload against the (id, cluster)
+   * assignment (both hash-partitioned on the id — the payload shuffles
+   * once) and one per-cluster rank window whose partitions are the k
+   * clusters of bounded sample size.
+   */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, perCluster: Int): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    val clusters = kmeansClusters(df, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cluster"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(clusters, Seq(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= perCluster)
+      .drop("_rk")
+  }
 }

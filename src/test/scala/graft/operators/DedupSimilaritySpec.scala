@@ -382,6 +382,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(orig._2 === copy._2 && orig._3 === copy._3)
   }
 
+  test("clusterBalancedSample caps every cluster at the quota, keeps payload columns") {
+    val out = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      k = 4, iters = 3, perCluster = 10)
+    assert(out.columns.toSet === (emb.columns.toSet + "cluster"))
+    val sizes = out.groupBy("cluster").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= 10), s"quota exceeded: $sizes")
+    // full clusters contribute exactly the quota; kept rows are real input rows
+    val clusterSizes = Similarity.kmeansClusters(emb, "vec_id", "embedding", 4, 3)
+      .groupBy("cluster").count().as[(Int, Long)].collect().toMap
+    clusterSizes.foreach { case (c, n) =>
+      assert(sizes.getOrElse(c, 0L) === math.min(n, 10L))
+    }
+    val inputIds = emb.select("vec_id").as[Long].collect().toSet
+    assert(out.select("vec_id").as[Long].collect().forall(inputIds))
+  }
+
   test("kmeans survives k larger than the distinct-vector count (empty clusters)") {
     // 3 identical vectors, k=2: after the first update one centroid owns
     // everything and the other keeps its seed centroid — no crash, one
