@@ -670,6 +670,14 @@ object SparkEntry {
         "embedding", k = 8, iters = 3, perCluster = 20)
         .select(col("vec_id"), col("label"), col("cluster"))),
 
+    // ---- SemDeDup: near-dup removal WITHIN semantic clusters (pairs
+    // across clusters are by design not evaluated — the Σ n_c² economics
+    // of the method); kept corpus value-exact incl. cluster labels ----
+    "q85_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3, threshold = 0.4)
+        .select(col("vec_id"), col("label"), col("cluster"))),
+
     // ---- change-rate-aware recrawl scheduling (daemon cron generalized:
     // per-site cadence from observed posting rate, integer-exact) ----
     "q79_recrawl" -> ((s, dir) =>
@@ -882,6 +890,24 @@ object SparkEntry {
         |    ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) AS rk
         |  FROM embeddings e JOIN a3 ON a3.vec_id = e.vec_id)
         |SELECT vec_id, label, cluster FROM r WHERE rk <= 20""".stripMargin),
+
+    // Lloyd replay + within-cluster cosine pairs + recursive transitive
+    // closure (the q53 scheme restricted to same-cluster pairs)
+    "q85_semantic_dedup" ->
+      ("WITH RECURSIVE " + kmeansOracleCtes(dim = 64, k = 8, iters = 3) + """,
+        |pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  JOIN a3 ca ON ca.vec_id = a.vec_id
+        |  JOIN a3 cb ON cb.vec_id = b.vec_id
+        |  WHERE ca.c = cb.c AND list_cosine_similarity(
+        |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+        |edg AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (SELECT u, v FROM edg
+        |  UNION SELECT r.u, e2.v FROM reach r JOIN edg e2 ON r.v = e2.u),
+        |lbl AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT e.vec_id, e.label, a3.c AS cluster
+        |FROM embeddings e JOIN a3 ON a3.vec_id = e.vec_id
+        |WHERE e.vec_id NOT IN (SELECT id FROM lbl WHERE id <> comp)""".stripMargin),
 
     // chr(4352,4449,4363,4454) = decomposed 가에; chr(769) = combining acute
     "q82_normalize_text" ->

@@ -446,6 +446,44 @@ object Similarity {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023): semantic near-duplicate removal WITHIN
+   * k-means clusters — pairs are only evaluated between members of the
+   * same semantic cluster, which turns the exact all-pairs O(n²) into
+   * Σ n_c² (the economics of the method). Composition of the engine's
+   * own parts: integer-exact [[kmeansClusters]] -> within-cluster exact
+   * cosine pairs (the [[nearDupPairs]] block-tile scheme with the
+   * cluster id PREFIXED to the tile key, so a tile never crosses
+   * clusters and the shuffle stays evenly sliced) -> transitive
+   * components -> keep the min-id representative per component. Returns
+   * the kept rows (all input columns) plus `cluster`.
+   */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double, blocks: Int = 8): DataFrame = {
+    val b = blocks
+    val withC = corpus.join(
+      kmeansClusters(corpus, idCol, vecCol, k, iters).select(col(idCol), col("cluster")),
+      Seq(idCol))
+    val v = withC.select(col(idCol).as("_id"), col("cluster").as("_c"),
+      col(vecCol).cast("array<double>").as("_v"),
+      pmod(xxhash64(col(idCol)), lit(b.toLong)).cast("int").as("_blk"))
+    val lhs = v.select(col("_id").as("_ida"), col("_c"), col("_v").as("_va"),
+      col("_blk").as("_ba"), explode(sequence(col("_blk"), lit(b - 1))).as("_j"))
+      .select(col("_ida"), col("_c"), col("_va"), col("_ba"),
+        (col("_ba") * b + col("_j")).as("_tile"))
+    val rhs = v.select(col("_id").as("_idb"), col("_c"), col("_v").as("_vb"),
+      col("_blk").as("_bb"), explode(sequence(lit(0), col("_blk"))).as("_i"))
+      .select(col("_idb"), col("_c"), col("_vb"), col("_bb"),
+        (col("_i") * b + col("_bb")).as("_tile"))
+    val pairs = lhs.join(rhs, Seq("_c", "_tile"))
+      .filter(col("_ba") =!= col("_bb") || col("_ida") < col("_idb"))
+      .withColumn("sim", GraftFunctions.cosine_sim(col("_va"), col("_vb")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("_ida"), col("_idb")).as("a"),
+        greatest(col("_ida"), col("_idb")).as("b"))
+    Dedup.keepClusterRepresentatives(withC, idCol, Dedup.nearDupClusters(pairs))
+  }
+
+  /**
    * Cluster-balanced diversity sampling (the SemDeDup curation recipe's
    * selection half): cap every semantic cluster at `perCluster` rows,
    * keeping each cluster's md5-order prefix — an engine-portable

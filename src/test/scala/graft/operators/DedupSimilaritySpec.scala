@@ -398,6 +398,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out.select("vec_id").as[Long].collect().forall(inputIds))
   }
 
+  test("semanticDedup keeps one representative per within-cluster near-dup group") {
+    // two planted semantic clusters far apart; inside each, a group of
+    // near-identical vectors (cos ~ 1) plus one same-cluster vector below
+    // the threshold. SemDeDup must collapse each near-dup group to its
+    // min id and keep the sub-threshold vectors untouched.
+    val pts = Seq(
+      (0L, Seq(10.0f, 0.00f, 0f, 0f)), // near-dup group A -> keep 0
+      (1L, Seq(10.0f, 0.01f, 0f, 0f)),
+      (2L, Seq(10.0f, 0.02f, 0f, 0f)),
+      (3L, Seq(10.0f, 3.00f, 0f, 0f)), // same cluster, cos(v0)=0.958 < 0.99
+      (100L, Seq(0.00f, 10.0f, 0f, 0f)), // near-dup group B -> keep 100
+      (101L, Seq(0.00f, 10.0f, 0.01f, 0f)),
+      (102L, Seq(3.00f, 10.0f, 0f, 0f))) // same cluster, below threshold
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+      k = 2, iters = 5, threshold = 0.99)
+    assert(out.columns.toSet === Set("vec_id", "embedding", "cluster"))
+    val kept = out.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(0L, 3L, 100L, 102L))
+    // kept rows carry their k-means cluster label; the two groups differ
+    val byCluster = out.select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(byCluster(0L) === byCluster(3L))
+    assert(byCluster(100L) === byCluster(102L))
+    assert(byCluster(0L) !== byCluster(100L))
+    // deterministic
+    val again = Similarity.semanticDedup(df, "vec_id", "embedding",
+      k = 2, iters = 5, threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(again === kept)
+  }
+
   test("kmeans survives k larger than the distinct-vector count (empty clusters)") {
     // 3 identical vectors, k=2: after the first update one centroid owns
     // everything and the other keeps its seed centroid — no crash, one
