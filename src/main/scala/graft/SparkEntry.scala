@@ -265,6 +265,17 @@ object SparkEntry {
         numBands = 32, rowsPerBand = 2)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // ---- winnowing fingerprints (Schleimer et al. 2003): the
+    // substring-level dedup signal — engine-portable md5-prefix hashes so
+    // the window-min selection replays byte-for-byte in SQL ----
+    "q86_winnow_fp" -> ((s, dir) =>
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4)),
+
+    "q87_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4, threshold = 0.5, maxFpFreq = 20L)),
+
     // ---- near-dup CLUSTERS: connected components (min-label + pointer
     // jumping) over the exact-Jaccard pair table — the keep-one-per-cluster
     // step of a dedup pipeline; oracle = recursive-CTE transitive closure
@@ -1246,6 +1257,43 @@ object SparkEntry {
         |SELECT a, b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
         |FROM inter JOIN sz x ON a = x.doc_id JOIN sz y ON b = y.doc_id
         |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin,
+
+    // winnowing (k=4 grams, w=4 windows): md5-prefix hashes are
+    // lexicographically ordered like their numeric value, so list_min
+    // replays the engine's window-min selection byte-for-byte
+    "q86_winnow_fp" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(
+        |  range(1, greatest(len(t) - 3, 0) + 1),
+        |  i -> substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15)) AS hs
+        |  FROM toks WHERE len(t) >= 4)
+        |SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(hs) - 3, 1) + 1),
+        |  j -> list_min(hs[j:j+3])))) AS fp
+        |FROM h""".stripMargin,
+
+    "q87_winnow_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(
+        |  range(1, greatest(len(t) - 3, 0) + 1),
+        |  i -> substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15)) AS hs
+        |  FROM toks WHERE len(t) >= 4),
+        |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(hs) - 3, 1) + 1),
+        |  j -> list_min(hs[j:j+3])))) AS f FROM h),
+        |cut AS (SELECT doc_id, f FROM fp
+        |  WHERE f IN (SELECT f FROM fp GROUP BY f HAVING count(*) <= 20)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM cut GROUP BY 1),
+        |sh AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+        |  FROM cut x JOIN cut y USING (f) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, shared, round(shared * 1.0 / least(x.n, y.n), 6) AS overlap
+        |FROM sh JOIN sz x ON a = x.doc_id JOIN sz y ON b = y.doc_id
+        |WHERE shared * 1.0 / least(x.n, y.n) >= 0.5""".stripMargin,
 
     // transitive closure of the q26 pair graph via recursive CTE; cluster
     // label = component minimum, exactly the engine's min-label fixpoint

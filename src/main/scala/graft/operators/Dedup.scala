@@ -170,6 +170,76 @@ object Dedup {
   }
 
   /**
+   * Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing: Local
+   * Algorithms for Document Fingerprinting", SIGMOD 2003) — the
+   * SUBSTRING-level dedup signal the document-level operators above can't
+   * give: any shared token run of length >= w+k-1 between two documents is
+   * GUARANTEED to share at least one selected fingerprint (the winnowing
+   * coverage property), which is the detector for copied passages inside
+   * otherwise-different documents (Lee et al. 2022's exact-substring dedup
+   * family, at fingerprint rather than suffix-array cost).
+   *
+   * Per document: positional word k-grams (the [[graft.functions.Kernels]]
+   * linear `word_ngrams` pass), each hashed to a 60-bit md5 prefix, then
+   * every window of `w` consecutive gram hashes selects its MINIMUM — the
+   * distinct selected hashes are the document's fingerprints. The md5
+   * prefix (15 lowercase hex chars) is engine-portable: lexicographic
+   * order equals numeric order, so a SQL oracle replays the selection
+   * byte-for-byte. A document with fewer than w grams (but >= 1) yields
+   * one fingerprint — the min over all its grams — so every document with
+   * >= k tokens is represented.
+   *
+   * Scale: selection is one codegen'd column pass per row, O(len·w) —
+   * nothing shuffles until the (doc_id, fingerprint) explode, and the
+   * expected fingerprint density is 2/(w+1) of the grams (the paper's
+   * bound), so the exploded table is a w-fold reduction of the shingle
+   * table the Jaccard path would ship.
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val grams = graft.functions.GraftFunctions.word_ngrams(col(textCol), k)
+    val hashes = transform(grams, g => substring(md5(g), 1, 15))
+    val fps = when(size(hashes) < 1, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+          j => array_min(slice(hashes, j, lit(w))))))
+    df.select(col(idCol).as("doc_id"), explode(fps).as("fp"))
+  }
+
+  /**
+   * Substring-overlap candidate pairs over winnowing fingerprints: all
+   * (a, b), a < b, sharing >= `threshold` of the smaller document's
+   * fingerprint set (max-containment — the right normalization for a short
+   * passage pasted into a long document). `maxFpFreq` (0 = off) is the
+   * df-cut: a fingerprint present in more than F documents is boilerplate
+   * and is dropped from BOTH the evidence and the denominators, bounding
+   * the self-join fan-out to F² per fingerprint at web scale.
+   */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, threshold: Double = 0.5,
+      maxFpFreq: Long = 0L): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val hot = fps.groupBy("fp").count()
+      .filter(col("count") > (if (maxFpFreq <= 0) Long.MaxValue else maxFpFreq))
+      .select("fp")
+    val cut = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      .localCheckpoint() // feeds the sizes AND both join sides
+    val sizes = cut.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val shared = cut.select(col("doc_id").as("a"), col("fp"))
+      .join(cut.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a"), col("nfp").as("_na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nfp").as("_nb")), Seq("b"))
+      .withColumn("overlap",
+        col("shared").cast("double") / least(col("_na"), col("_nb")))
+      .filter(col("overlap") >= threshold)
+      .select(col("a"), col("b"), col("shared"), round(col("overlap"), 6).as("overlap"))
+  }
+
+  /**
    * MinHash + LSH candidate generation and verification:
    *  1. signature (numBands * rowsPerBand mixers);
    *  2. band hashes -> bucket join (same band+hash => candidate pair);

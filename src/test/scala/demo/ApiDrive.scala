@@ -181,6 +181,13 @@ object ApiDrive {
       docs001, "doc_id", "text", probe, "doc_id", "text", 3, 0.5, maxShingleFreq = 20L)
     println(s"containment >=0.5: ${contaminated.count} probe-corpus pairs")
 
+    // 13c3. Winnowing: substring-level fingerprints + overlap pairs
+    val winnowFps = graft.operators.Dedup.winnowFingerprints(
+      docs001, "doc_id", "text", k = 4, w = 4)
+    val winnowPairs = graft.operators.Dedup.winnowOverlapPairs(
+      docs001, "doc_id", "text", k = 4, w = 4, threshold = 0.5, maxFpFreq = 20L)
+    println(s"winnow fps: ${winnowFps.count}; overlap pairs >=0.5: ${winnowPairs.count}")
+
     // 13d. Sessionization + vocabulary + bigram LM counts
     val events001 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val sessions = graft.operators.Sessions.sessionize(events001)

@@ -344,6 +344,53 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out === Seq((2L, 1L, 1.0)))
   }
 
+  test("winnowing: coverage guarantee, per-doc floor, and planted-passage overlap") {
+    // coverage property (Schleimer et al. 2003): any shared token run of
+    // length >= w+k-1 tokens shares at least one selected fingerprint
+    val passage = (1 to 12).map(i => s"stolen$i").mkString(" ") // 12 tokens >= w+k-1=7
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $passage epsilon zeta eta theta"),
+      (2L, s"one two three four five six $passage seven eight nine ten"),
+      (3L, "totally unrelated content with many distinct words here now"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+    val byDoc = fps.groupBy("doc_id").agg(collect_set("fp").as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    // every doc with >= k tokens yields at least one fingerprint
+    assert(Set(1L, 2L, 3L).subsetOf(byDoc.keySet))
+    assert(!byDoc.contains(4L), "doc under k tokens must emit nothing")
+    // docs 1 and 2 share the passage -> guaranteed common fingerprint
+    assert(byDoc(1L).toSet.intersect(byDoc(2L).toSet).nonEmpty)
+    // doc 3 shares no 4-gram with either -> no common fingerprint
+    assert(byDoc(3L).toSet.intersect(byDoc(1L).toSet ++ byDoc(2L).toSet).isEmpty)
+    // fingerprints are a subset of the gram hashes (selection, not invention)
+    val nGrams = docs.select(size(graft.functions.GraftFunctions
+      .word_ngrams(col("text"), 4)).as("n"), col("doc_id"))
+      .as[(Int, Long)].collect().map(_.swap).toMap
+    byDoc.foreach { case (id, s) => assert(s.size <= nGrams(id)) }
+    // overlap pairs: exactly the planted pair survives the threshold
+    val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+      k = 4, w = 4, threshold = 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("winnowing df-cut drops corpus-hot fingerprints from evidence and denominator") {
+    // the same boilerplate passage in 5 docs is hot at maxFpFreq=4; two
+    // docs additionally share a real passage and must still pair up
+    val boiler = (1 to 10).map(i => s"footer$i").mkString(" ")
+    val real = (1 to 10).map(i => s"payload$i").mkString(" ")
+    val docs = (
+      (10L to 12L).map(i => (i, s"filler${i}a filler${i}b filler${i}c $boiler")) ++ Seq(
+        (1L, s"$real intro words $boiler"),
+        (2L, s"closing remarks $real $boiler"))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+      k = 4, w = 4, threshold = 0.3, maxFpFreq = 4L)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      s"boilerplate fingerprints must not create pairs: $pairs")
+  }
+
   test("kmeans recovers well-separated planted clusters") {
     // 3 planted centers far apart in 4-dim space, 30 points each with a
     // small deterministic wobble — Lloyd must put every point with its
