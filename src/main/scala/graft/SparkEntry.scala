@@ -531,6 +531,48 @@ object SparkEntry {
       s.table(sink).filter(col("user_id") =!= -1L)
     },
 
+    // ---- STREAMING exact dedup over a REAL stream (file source, one
+    // parquet dir per micro-batch): documents keyed by content digest
+    // through dropDuplicatesWithinWatermark. The delay covers the whole
+    // synthetic event-time span, so every duplicate is inside the horizon
+    // and the streamed output equals batch DISTINCT — the DuckDB oracle.
+    // Output carries (fp, text) only: whichever duplicate row wins, the
+    // emitted columns are identical, so the result is order-independent. ----
+    "q88_streaming_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val slice = t(s, dir, "documents").orderBy("doc_id")
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-q").toString
+      def stamp(dir: String, order: Int): Unit = {
+        val t = java.nio.file.attribute.FileTime.fromMillis(1000000000000L + order * 60000L)
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try walk.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+        finally walk.close()
+      }
+      slice.grouped(97).zipWithIndex.foreach { case (c, i) =>
+        s.createDataset(c.toIndexedSeq).toDF("doc_id", "text")
+          .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
+          .repartition(1).write.parquet(s"$tmp/in/b$i.parquet")
+        stamp(s"$tmp/in/b$i.parquet", i) }
+      // replay the first batch last: real duplicates that MUST be dropped
+      // (their keys' state is live — the horizon spans the whole slice)
+      s.createDataset(slice.take(97).toIndexedSeq).toDF("doc_id", "text")
+        .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
+        .repartition(1).write.parquet(s"$tmp/in/replay.parquet")
+      stamp(s"$tmp/in/replay.parquet", 100)
+      val in = s.readStream.schema(s.read.parquet(s"$tmp/in/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+        .select(col("ts").cast("timestamp").as("ts"), col("text"),
+          md5(col("text")).as("fp"))
+      val sink = s"q88_sdedup_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = graft.streaming.StreamingDedup.dedupStream(in, Seq("fp"), "ts", "3650 days")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).select(col("fp"), col("text"))
+    },
+
     // ---- as-of join: latest preceding click per purchase, same user
     // (DuckDB ASOF LEFT JOIN oracle). Union + carry-forward window — ONE
     // exchange on the key, no join node (TemporalJoinsSpec plan audit) ----
@@ -1133,6 +1175,11 @@ object SparkEntry {
     // deterministic 200-row slice, so DuckDB can replay the same
     // sessionization the stream emits (parity streamed==batch is the
     // operator's own spec; this makes it driver-visible)
+    // streamed first-arrival dedup with a full-span horizon == batch DISTINCT
+    "q88_streaming_dedup" ->
+      """SELECT md5(text) AS fp, text
+        |FROM (SELECT DISTINCT text FROM documents)""".stripMargin,
+
     "q58_streaming_sessions" ->
       """WITH input AS (
         |  SELECT user_id, event_id, ts, value FROM events
