@@ -712,23 +712,21 @@ object SparkEntry {
     // micro-unit INTEGER arithmetic (quantized vectors, floor-div
     // centroid means, exact integer squared-L2), so the DuckDB oracle
     // replays it bit-for-bit — float accumulation order never enters ----
-    "q83_kmeans" -> ((s, dir) =>
-      Similarity.kmeansClusters(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 3)),
+    "q83_kmeans" -> ((s, dir) => cachedKmeans(s, dir)),
 
     // ---- cluster-balanced diversity sampling (SemDeDup selection): cap
     // each semantic cluster at 20 rows in engine-portable md5 order ----
     "q84_cluster_sample" -> ((s, dir) =>
-      Similarity.clusterBalancedSample(t(s, dir, "embeddings"), "vec_id",
-        "embedding", k = 8, iters = 3, perCluster = 20)
+      Similarity.clusterBalancedSampleFrom(t(s, dir, "embeddings"), "vec_id",
+        cachedKmeans(s, dir), perCluster = 20)
         .select(col("vec_id"), col("label"), col("cluster"))),
 
     // ---- SemDeDup: near-dup removal WITHIN semantic clusters (pairs
     // across clusters are by design not evaluated — the Σ n_c² economics
     // of the method); kept corpus value-exact incl. cluster labels ----
     "q85_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 3, threshold = 0.4)
+      Similarity.semanticDedupFrom(t(s, dir, "embeddings"), "vec_id",
+        "embedding", cachedKmeans(s, dir), threshold = 0.4)
         .select(col("vec_id"), col("label"), col("cluster"))),
 
     // ---- change-rate-aware recrawl scheduling (daemon cron generalized:
@@ -806,6 +804,17 @@ object SparkEntry {
           operators.Bpe.wordCounts(t(s, dir, "documents"), "text"), 6)
         .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
           r.getString(3), r.getLong(4))).toSeq.sortBy(_._1))
+
+  /** Clustering is deterministic per corpus, so q83/q84/q85 share one
+    * memoized k-means assignment (the real-pipeline shape: cluster once,
+    * derive dedup/sampling/stats from the same assignment). The staged
+    * checkpoint holds (id, cluster, dist_q) only — rows, not vectors. */
+  private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def cachedKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansMemo.computeIfAbsent((s, dir), _ =>
+      Similarity.kmeansClusters(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3).localCheckpoint())
 
   /** The crawl is deterministic, so queries q34..q44 share one memoized
     * run per (session, config) instead of re-crawling 8 times in Verify. */

@@ -429,17 +429,22 @@ object Similarity {
         (array_position(col("_dists"), array_min(col("_dists"))) - 1).cast("int"))
       .withColumn("dist_q", array_min(col("_dists")))
     (1 until iters).foreach { _ =>
-      val byC = assigned
+      // collect at (cluster, pos) grain — k*d rows — and assemble the
+      // centroid arrays on the driver: one shuffle per iteration instead
+      // of two (the collect_list re-grouping was a second exchange whose
+      // only job was array assembly the driver does for free)
+      val rows = assigned
         .select(col("cluster").as("_c"), posexplode(col("_q")).as(Seq("_pos", "_x")))
         .groupBy("_c", "_pos")
         .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
         // floored integer mean fld(s, n): the numerator is made divisible
         // by n first, so `div` is exact and sign-correct in every engine
         .withColumn("_m", expr("(_s - ((_s % _n + _n) % _n)) div _n"))
-        .groupBy("_c")
-        .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_sm"))
-        .select(col("_c"), transform(col("_sm"), e => e.getField("_m")).as("_centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+        .select(col("_c"), col("_pos"), col("_m"))
+        .collect()
+      val byC = rows.groupBy(_.getInt(0)).map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
       centroids = centroids.indices.map(i => byC.getOrElse(i, centroids(i))).toArray
     }
     assigned.select(col("_id").as(idCol), col("cluster"), col("dist_q"))
@@ -458,11 +463,19 @@ object Similarity {
    * the kept rows (all input columns) plus `cluster`.
    */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, threshold: Double, blocks: Int = 8): DataFrame = {
+      k: Int, iters: Int, threshold: Double, blocks: Int = 8): DataFrame =
+    semanticDedupFrom(corpus, idCol, vecCol,
+      kmeansClusters(corpus, idCol, vecCol, k, iters), threshold, blocks)
+
+  /** [[semanticDedup]] over a PRECOMPUTED `(idCol, cluster)` assignment —
+    * the real-pipeline shape: cluster once, then derive dedup, sampling,
+    * and per-topic stats from the same assignment without re-running
+    * Lloyd per consumer. */
+  def semanticDedupFrom(corpus: DataFrame, idCol: String, vecCol: String,
+      clusters: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
     val b = blocks
     val withC = corpus.join(
-      kmeansClusters(corpus, idCol, vecCol, k, iters).select(col(idCol), col("cluster")),
-      Seq(idCol))
+      clusters.select(col(idCol), col("cluster")), Seq(idCol))
     val v = withC.select(col(idCol).as("_id"), col("cluster").as("_c"),
       col(vecCol).cast("array<double>").as("_v"),
       pmod(xxhash64(col(idCol)), lit(b.toLong)).cast("int").as("_blk"))
@@ -498,10 +511,16 @@ object Similarity {
    * clusters of bounded sample size.
    */
   def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, perCluster: Int): DataFrame = {
+      k: Int, iters: Int, perCluster: Int): DataFrame =
+    clusterBalancedSampleFrom(df, idCol,
+      kmeansClusters(df, idCol, vecCol, k, iters), perCluster)
+
+  /** [[clusterBalancedSample]] over a PRECOMPUTED `(idCol, cluster)`
+    * assignment (cluster once, consume many times). */
+  def clusterBalancedSampleFrom(df: DataFrame, idCol: String,
+      clustersIn: DataFrame, perCluster: Int): DataFrame = {
     require(perCluster > 0, "perCluster must be positive")
-    val clusters = kmeansClusters(df, idCol, vecCol, k, iters)
-      .select(col(idCol), col("cluster"))
+    val clusters = clustersIn.select(col(idCol), col("cluster"))
     val w = Window.partitionBy("cluster")
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.join(clusters, Seq(idCol))
