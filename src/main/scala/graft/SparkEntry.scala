@@ -276,6 +276,21 @@ object SparkEntry {
       Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 4, w = 4, threshold = 0.5, maxFpFreq = 20L)),
 
+    // ---- cross-corpus MinHash: an incoming batch (here: a deterministic
+    // 1/16 md5-slice of the corpus with one token-class perturbed —
+    // a near-dup crawl re-fetch) screened against the corpus. Portable
+    // md5-minhash signature, so the full LSH pipeline (signature -> bands
+    // -> candidates -> exact-Jaccard verify) replays in DuckDB ----
+    "q89_cross_corpus" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val batch = docs
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+        .select(concat(lit("p-"), col("doc_id").cast("string")).as("doc_id"),
+          regexp_replace(lower(col("text")), "\\btable\\b", "tables").as("text"))
+      Dedup.crossCorpusMinhashPairs(docs, batch, "doc_id", "text",
+        n = 3, perms = 9, bands = 3, threshold = 0.5)
+    },
+
     // ---- near-dup CLUSTERS: connected components (min-label + pointer
     // jumping) over the exact-Jaccard pair table — the keep-one-per-cluster
     // step of a dedup pipeline; oracle = recursive-CTE transitive closure
@@ -658,6 +673,20 @@ object SparkEntry {
     "q74_profile" -> ((s, dir) =>
       Profile.profile(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
+    // ---- BM25 ranked retrieval (Okapi k1=1.2 b=0.75) for a fixed query
+    // over the corpus; per-term scores and the ascending-term total are
+    // single fixed-order double expressions mirrored by the oracle ----
+    "q90_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("customer", "merge", "window"), topK = 10)),
+
+    // ---- hashed-feature linear quality model (fasttext-shaped filter):
+    // 256-bucket md5 feature hashing x deterministic integer micro-weights,
+    // exact integer score, keep = score >= 0 ----
+    "q91_quality_model" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text",
+        hexChars = 2, threshold = 0L)),
 
     // ---- corpus-LM document scoring (bigram log-frequency familiarity;
     // gram strings collapse to 8-byte hashes before any shuffle) ----
@@ -1350,6 +1379,89 @@ object SparkEntry {
         |SELECT a, b, shared, round(shared * 1.0 / least(x.n, y.n), 6) AS overlap
         |FROM sh JOIN sz x ON a = x.doc_id JOIN sz y ON b = y.doc_id
         |WHERE shared * 1.0 / least(x.n, y.n) >= 0.5""".stripMargin,
+
+    // full portable-minhash LSH replay: md5 permutation minima -> 3-band
+    // keys -> batch x corpus collisions -> exact-Jaccard verify
+    "q89_cross_corpus" ->
+      """WITH ctoks AS (SELECT doc_id AS id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ptoks AS (SELECT 'p-' || CAST(doc_id AS VARCHAR) AS id,
+        |  list_filter(string_split_regex(
+        |    regexp_replace(lower(text), '\btable\b', 'tables', 'g'), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+        |csh AS (SELECT id, list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 0) + 1),
+        |  i -> array_to_string(t[i:i+2], ' '))) AS sh FROM ctoks WHERE len(t) >= 3),
+        |psh AS (SELECT id, list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 0) + 1),
+        |  i -> array_to_string(t[i:i+2], ' '))) AS sh FROM ptoks WHERE len(t) >= 3),
+        |csig AS (SELECT id, list_transform(range(0, 9), p ->
+        |  list_min(list_transform(sh, s -> md5(CAST(p AS VARCHAR) || '|' || s)))) AS g
+        |  FROM csh),
+        |psig AS (SELECT id, list_transform(range(0, 9), p ->
+        |  list_min(list_transform(sh, s -> md5(CAST(p AS VARCHAR) || '|' || s)))) AS g
+        |  FROM psh),
+        |cb AS (SELECT id, i AS band, g[3*i+1] || g[3*i+2] || g[3*i+3] AS key
+        |  FROM csig CROSS JOIN range(0, 3) r(i)),
+        |pb AS (SELECT id, i AS band, g[3*i+1] || g[3*i+2] || g[3*i+3] AS key
+        |  FROM psig CROSS JOIN range(0, 3) r(i)),
+        |cands AS (SELECT DISTINCT pb.id AS batch_id, cb.id AS corpus_id
+        |  FROM pb JOIN cb ON pb.band = cb.band AND pb.key = cb.key),
+        |pe AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM psh),
+        |ce AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM csh),
+        |iv AS (SELECT cd.batch_id, cd.corpus_id, x.n AS nb, y.n AS nc,
+        |    count(*) AS i
+        |  FROM cands cd JOIN pe x ON x.id = cd.batch_id
+        |  JOIN ce y ON y.id = cd.corpus_id AND y.s = x.s
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        |  SELECT batch_id, corpus_id,
+        |    round(i * 1.0 / (nb + nc - i), 6) AS jaccard FROM iv)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    // BM25: per-term score and ascending-term total as textually mirrored
+    // fixed-order double expressions (the q81 PMI float-parity treatment)
+    "q90_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(t) AS dl,
+        |  list_filter(t, x -> x IN ('customer', 'merge', 'window')) AS qt FROM toks),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |  SELECT doc_id, dl, unnest(qt) AS term FROM base) GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM base),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT t.doc_id, t.term,
+        |  round(ln(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+        |      (CAST(d.df AS DOUBLE) + 0.5))
+        |    * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        CAST(t.dl AS DOUBLE) /
+        |        (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))), 6) AS sc
+        |  FROM tf t JOIN dfx d USING (term) CROSS JOIN stats s),
+        |tot AS (SELECT doc_id,
+        |  coalesce(max(CASE WHEN term = 'customer' THEN sc END), 0.0)
+        |  + coalesce(max(CASE WHEN term = 'merge' THEN sc END), 0.0)
+        |  + coalesce(max(CASE WHEN term = 'window' THEN sc END), 0.0) AS raw
+        |  FROM scored GROUP BY 1),
+        |r AS (SELECT doc_id, round(raw, 6) AS score, row_number() OVER (
+        |  ORDER BY round(raw, 6) DESC, doc_id) AS rank FROM tot)
+        |SELECT doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // integer-exact hashed linear model: generated weight table = Knuth
+    // multiplier mix folded to [-1000, 1000]
+    "q91_quality_model" ->
+      """WITH w AS (SELECT printf('%02x', i) AS bucket,
+        |  ((i * 2654435761) % 1000003) % 2001 - 1000 AS w FROM range(256) t(i)),
+        |tf AS (SELECT doc_id, substr(md5(token), 1, 2) AS bucket,
+        |  count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS token FROM documents) GROUP BY 1, 2)
+        |SELECT doc_id, sum(tf * w.w) AS score_micro,
+        |  CAST(sum(tf * w.w) >= 0 AS INT) AS keep
+        |FROM tf JOIN w USING (bucket) GROUP BY doc_id""".stripMargin,
 
     // transitive closure of the q26 pair graph via recursive CTE; cluster
     // label = component minimum, exactly the engine's min-label fixpoint

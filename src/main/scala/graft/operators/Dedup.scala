@@ -359,6 +359,63 @@ object Dedup {
       nearDupClusters(ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleFreq)))
 
   /**
+   * Cross-corpus MinHash near-dup detection — the incremental-ingest gate:
+   * screen a NEW batch (a crawl wave, a vendor drop, a benchmark set)
+   * against the EXISTING corpus without the within-corpus self-join.
+   * Same LSH economics as [[minhashLshPairs]] — candidates exist only
+   * where a band collides across the two sides — but the band join is
+   * batch×corpus, so its cost scales with the batch, not the corpus².
+   *
+   * PORTABLE variant: the permutation hashes are md5("p|shingle") string
+   * minima (the [[winnowFingerprints]] trick — lexicographic = numeric
+   * order on fixed-width lowercase hex), so a SQL oracle replays
+   * signature, banding, candidate set, and verify byte-for-byte. The
+   * production-throughput variant of the same shape is
+   * [[minhashLshPairs]]'s codegen'd `minhash_bands` kernel over 8-byte
+   * xxhash64 keys; this one trades kernel speed for cross-engine
+   * replayability (the driver's DuckDB gate can check it value-exact).
+   *
+   * Returns (batch_id, corpus_id, jaccard) for verified pairs ≥ threshold.
+   */
+  def crossCorpusMinhashPairs(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, perms: Int = 9, bands: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
+    val rows = perms / bands
+    def prepared(df: DataFrame, as: String): DataFrame = {
+      val sh = shingles(col(textCol), n)
+      val sig = array((0 until perms).map(p =>
+        array_min(transform(col("_sh"), s => md5(concat(lit(s"$p|"), s))))): _*)
+      df.select(col(idCol).as(as), sh.as("_sh"))
+        .filter(size(col("_sh")) > 0)
+        .withColumn("_sig", sig)
+        .withColumn("_bands", transform(sequence(lit(0), lit(bands - 1)),
+          i => concat_ws("", slice(col("_sig"), i * rows + 1, lit(rows)))))
+        .localCheckpoint() // feeds the band join AND the Jaccard verify
+    }
+    val c = prepared(corpus, "corpus_id")
+    val b = prepared(batch, "batch_id")
+    val cBands = c.select(col("corpus_id"), posexplode(col("_bands")).as(Seq("band", "key")))
+    val bBands = b.select(col("batch_id"), posexplode(col("_bands")).as(Seq("band", "key")))
+    val cands = bBands.join(cBands, Seq("band", "key"))
+      .select("batch_id", "corpus_id").distinct()
+    // exact-Jaccard verify over the candidates only (shingle-string grain —
+    // the portable trade; the kernel path intersects 8-byte hashes)
+    val bSh = b.select(col("batch_id"), size(col("_sh")).as("_nb"),
+      explode(col("_sh")).as("_s"))
+    val cSh = c.select(col("corpus_id"), size(col("_sh")).as("_nc"),
+      explode(col("_sh")).as("_s"))
+    cands.join(bSh, Seq("batch_id")).join(cSh, Seq("corpus_id", "_s"))
+      .groupBy("batch_id", "corpus_id", "_nb", "_nc")
+      .agg(count(lit(1)).as("_i"))
+      .withColumn("jaccard", round(col("_i").cast("double") /
+        (col("_nb") + col("_nc") - col("_i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
+  /**
    * 64-bit SimHash over word tokens (computed in [[graft.functions.Kernels]]
    * as a codegen'd static call). Near-dup pairs = hamming distance <= maxDist,
    * found by probing permuted prefixes (here: 4 rotations as block keys —

@@ -306,6 +306,103 @@ object TextAnalysis {
       regexp_count(noEmail, lit(phoneRe)).as("n_phones"))
   }
 
+  /**
+   * BM25 ranked retrieval for a fixed query-term set over the corpus — the
+   * search-serving layer composed on the same tokenize-once statistics as
+   * [[invertedIndex]] / [[tfidfTopTerms]] (Robertson & Spärck Jones BM25,
+   * k1/b in the standard Okapi form).
+   *
+   * Float discipline (engine parity): every per-term score is ONE double
+   * expression with fixed left-associative order, the idf uses the
+   * ln(1 + (N - df + .5)/(df + .5)) form, and the per-document total adds
+   * the per-term scores in ascending-term order via explicit conditional
+   * aggregates — no `sum()` over doubles whose accumulation order the
+   * engine may permute — so a SQL oracle replays the score bit-for-bit.
+   *
+   * Scale: the corpus is tokenized once; rows explode ONLY for query
+   * terms (|q| ≤ a handful), so the aggregate input is O(|docs|·|q|);
+   * N / sumdl / per-term df ride as a broadcast 1-row table. Documents
+   * containing no query term score 0 and are absent, mirroring an
+   * inverted-index lookup.
+   */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val terms = queryTerms.distinct.sorted
+    val base = df.select(col(idCol).as("doc_id"),
+        size(Dedup.tokens(col(textCol))).as("dl"),
+        filter(Dedup.tokens(col(textCol)), t => t.isInCollection(terms)).as("_qt"))
+      .localCheckpoint() // feeds corpus stats AND the tf explode
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("_qt")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // one fixed-shape double expression per (doc, term) — mirrored
+    // textually by the oracle SQL (identical literals, identical order)
+    val scored = tf.join(broadcast(dfx), Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("s", round(
+        log(lit(1.0) + (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+        (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") /
+            (col("sumdl").cast("double") / col("n").cast("double")))), 6))
+    // ascending-term left-associative total: coalesce(s_t1,0)+coalesce(s_t2,0)+…
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("s"))).as(s"_s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+      .reduceLeft((a, c) => a + c)
+    // global top-k via TakeOrderedAndProject (no single-partition window
+    // over the corpus); the rank window then runs over topK rows only
+    val top = scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score", round(total, 6))
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "score", "rank")
+  }
+
+  /**
+   * Hashed-feature linear quality model — the fasttext-shaped model-based
+   * filter stage: tokens hash into a 16^hexChars-bucket feature space
+   * (first `hexChars` of md5 — engine-portable), each bucket carries a
+   * deterministic integer micro-weight, and a document's score is the
+   * exact integer Σ tf·w. `keep` = score ≥ threshold (the logistic is
+   * monotone, so the integer threshold IS the probability threshold).
+   * Stands in for a trained classifier: swap the generated weight table
+   * for learned weights and nothing else changes.
+   *
+   * Scale: the weight table is 16^hexChars rows (256 at the default) —
+   * broadcast; the explode aggregates map-side per (doc, bucket) before
+   * the weight join, so the exchange carries O(docs · distinct-buckets)
+   * and the corpus text never shuffles. All integer arithmetic: the
+   * oracle replays bit-for-bit.
+   */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      hexChars: Int = 2, threshold: Long = 0L): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars in [1,8], got $hexChars")
+    val spark = df.sparkSession
+    val buckets = 1 << (4 * hexChars)
+    // deterministic placeholder weights: Knuth-multiplier mix of the
+    // bucket id, folded to [-1000, 1000] micro-units
+    val weights = broadcast(spark.range(buckets.toLong).select(
+      format_string(s"%0${hexChars}x", col("id")).as("bucket"),
+      (((col("id") * lit(2654435761L)) % lit(1000003L)) % lit(2001L) - lit(1000L))
+        .as("w")))
+    df.select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("token"))
+      .select(col("doc_id"), substring(md5(col("token")), 1, hexChars).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+      .join(weights, Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("w")).as("score_micro"))
+      .withColumn("keep", (col("score_micro") >= threshold).cast("int"))
+  }
+
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

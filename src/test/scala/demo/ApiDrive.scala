@@ -299,6 +299,18 @@ object ApiDrive {
     println(s"inverted index terms: ${idx.count}; pmi pairs: ${pmi.count}, " +
       s"top: ${pmi.orderBy(desc("pmi")).select("bigram").first.getString(0)}")
 
+    // 13m. BM25 retrieval, hashed linear quality model, cross-corpus screen
+    val bm = graft.operators.TextAnalysis.bm25Search(docs001, "doc_id", "text",
+      Seq("customer", "merge"), topK = 5)
+    val qm = graft.operators.TextAnalysis.hashedLinearScore(docs001, "doc_id", "text")
+    val xc = graft.operators.Dedup.crossCorpusMinhashPairs(
+      docs001, docs001.limit(20).select(
+        concat(lit("b-"), col("doc_id")).as("doc_id"), col("text")),
+      "doc_id", "text")
+    println(s"bm25 top doc: ${bm.orderBy("rank").first.getLong(0)}; " +
+      s"quality-model keep rate: ${qm.filter(col("keep") === 1).count}/${qm.count}; " +
+      s"cross-corpus exact dups found: ${xc.filter(col("jaccard") === 1.0).count}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",

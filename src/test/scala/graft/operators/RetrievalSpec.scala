@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/**
+ * BM25 retrieval, the hashed-feature linear quality model, and
+ * cross-corpus MinHash screening (the incremental-ingest near-dup gate).
+ */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bm25Search: tf and length sensitivity, topK bound, determinism") {
+    val docs = Seq(
+      (1L, "apple banana cherry date egg fig"), // 1 hit, len 6
+      (2L, "apple apple apple banana cherry date egg fig grape kiwi"), // 3 hits, len 10
+      (3L, "cherry date egg fig grape kiwi lemon mango"), // 0 hits
+      (4L, "apple banana"), // 1 hit, len 2 (shortest)
+      (5L, "apple apple banana cherry")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      queryTerms = Seq("apple"), topK = 3)
+    val rows = out.orderBy("rank").collect()
+    assert(rows.length === 3, "topK bounds the result")
+    // higher tf wins; at equal tf the shorter document wins (b > 0)
+    val ranked = rows.map(_.getLong(0)).toSeq
+    assert(ranked.head === 2L || ranked.head === 5L,
+      s"a multi-hit doc must rank first, got $ranked")
+    assert(!ranked.contains(3L), "documents without query terms are absent")
+    val shortIdx = ranked.indexOf(4L)
+    val longIdx = ranked.indexOf(1L)
+    if (shortIdx >= 0 && longIdx >= 0)
+      assert(shortIdx < longIdx, "equal tf: shorter doc scores higher")
+    val again = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      queryTerms = Seq("apple"), topK = 3).orderBy("rank").collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("bm25Search: multi-term total adds per-term scores in term order") {
+    val docs = Seq(
+      (1L, "x y x y z"),
+      (2L, "x q r s t u v w")
+    ).toDF("doc_id", "text")
+    val both = TextAnalysis.bm25Search(docs, "doc_id", "text", Seq("x", "y"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val xOnly = TextAnalysis.bm25Search(docs, "doc_id", "text", Seq("x"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 2 has no 'y': its two-term score equals its x-only score (same
+    // idf inputs: df(x) is computed over the same corpus either way)
+    assert(math.abs(both(2L) - xOnly(2L)) < 1e-9)
+    assert(both(1L) > xOnly(1L), "the y term adds positive score for doc 1")
+  }
+
+  test("hashedLinearScore: exact integer score from the generated weights") {
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 2), 16)
+    }
+    def weight(b: Long): Long = ((b * 2654435761L) % 1000003L) % 2001L - 1000L
+    val docs = Seq((7L, "alpha beta alpha"), (8L, "gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val expected7 = 2 * weight(bucket("alpha")) + weight(bucket("beta"))
+    val expected8 = weight(bucket("gamma"))
+    assert(out(7L)._1 === expected7)
+    assert(out(8L)._1 === expected8)
+    assert(out(7L)._2 === (if (expected7 >= 0) 1 else 0))
+    assert(out(8L)._2 === (if (expected8 >= 0) 1 else 0))
+  }
+
+  test("crossCorpusMinhashPairs: exact dup found, disjoint absent, batch-only pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely different words about spark catalyst plans here"),
+      (3L, "the quick brown fox jumps over the lazy dog again today") // in-corpus dup of 1
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      ("b1", "the quick brown fox jumps over the lazy dog again today"), // dup of 1 and 3
+      ("b2", "zebra yak xylophone walrus vulture termite snail rabbit")  // disjoint
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusMinhashPairs(corpus, batch, "doc_id", "text",
+      n = 3, perms = 9, bands = 3, threshold = 0.5)
+    val pairs = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.contains(("b1", 1L, 1.0)) && pairs.contains(("b1", 3L, 1.0)),
+      s"exact duplicate must verify at jaccard 1.0, got $pairs")
+    assert(!pairs.exists(_._1 == "b2"), "disjoint batch doc pairs with nothing")
+    // the in-corpus dup pair (1,3) must NOT appear: the operator screens
+    // batch-vs-corpus only, never corpus-vs-corpus
+    assert(pairs.forall(p => p._1.startsWith("b")), "only batch-led pairs")
+  }
+
+  test("crossCorpusMinhashPairs: near-dup above threshold survives the bands") {
+    // 20-token doc with one token changed: J ~= (18-?)/(...) well over 0.5
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val pert = ((1 to 10).map(i => s"tok$i") ++ Seq("CHANGED") ++
+      (12 to 20).map(i => s"tok$i")).mkString(" ")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(("b1", pert)).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusMinhashPairs(corpus, batch, "doc_id", "text",
+      n = 3, perms = 9, bands = 3, threshold = 0.5).collect()
+    assert(out.length === 1, "the perturbed near-dup must be found")
+    val j = out.head.getDouble(2)
+    assert(j > 0.5 && j < 1.0, s"jaccard strictly between 0.5 and 1, got $j")
+  }
+}
