@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.operators.{Bpe, Dedup, Graph, Merge, Packing, Profile, Sampling, Sessions, Similarity, Spans, TemporalJoins, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Graph, Merge, Packing, Profile, Recipe, Sampling, Sessions, Similarity, Spans, TemporalJoins, TextAnalysis}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -639,6 +639,22 @@ object SparkEntry {
       Packing.packSequences(t(s, dir, "documents"), "doc_id", "source",
         TextAnalysis.tokenCount(col("text")), capacity = 128L)
         .toDF().withColumnRenamed("group", "source")),
+
+    // ---- the COMPOSED end-to-end curation recipe: quality gate -> exact
+    // dedup -> decontamination (probe = the doc_id%17 benchmark slice) ->
+    // per-source packing. One chained SQL replay checks the composition,
+    // pinning stage-boundary semantics (df-cut over the DEDUPED corpus) ----
+    "q92_recipe" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Recipe.trainReady(docs, docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", "source")
+        .toDF().withColumnRenamed("group", "source")
+    },
+
+    // ---- per-source dataset-card statistics (docs, token volume, exact-
+    // duplicate rate, quality-gate pass rate per (source, lang) slice) ----
+    "q93_dataset_card" -> ((s, dir) =>
+      Profile.datasetCard(t(s, dir, "documents"), Seq("source", "lang"), "text")),
 
     "q71_interleaved" -> ((s, dir) =>
       Spans.interleavedTokenStream(
@@ -1449,6 +1465,87 @@ object SparkEntry {
         |r AS (SELECT doc_id, round(raw, 6) AS score, row_number() OVER (
         |  ORDER BY round(raw, 6) DESC, doc_id) AS rank FROM tot)
         |SELECT doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // the full recipe chain replayed as ONE SQL pipeline: q54 quality
+    // feats -> q24 dedup winners -> q60 containment (df-cut over the
+    // deduped corpus) -> q70 next-fit packing over the survivors
+    "q92_recipe" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, source, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |feats AS (SELECT doc_id, len(t) AS n_tokens,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |    * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+        |    * 1.0 / greatest(len(t), 1), 6) AS stopword_ratio,
+        |  round(CASE WHEN len(t) > 0 THEN list_aggregate(list_transform(t, x -> len(x)), 'sum')
+        |    * 1.0 / len(t) ELSE 0.0 END, 6) AS mean_word_len
+        |  FROM base),
+        |q AS (SELECT b.doc_id, b.source, b.text, b.t FROM base b
+        |  JOIN feats f USING (doc_id)
+        |  WHERE f.n_tokens BETWEEN 20 AND 100000 AND f.punct_ratio <= 0.3
+        |    AND f.stopword_ratio >= 0.02 AND f.mean_word_len BETWEEN 2.0 AND 5.0),
+        |d AS (SELECT * FROM q WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 0) + 1),
+        |  i -> array_to_string(t[i:i+2], ' ')))) AS s FROM d),
+        |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 20),
+        |cf AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+        |ptoks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |pshall AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 0) + 1),
+        |  i -> array_to_string(t[i:i+2], ' ')))) AS s FROM ptoks),
+        |pf AS (SELECT doc_id, s FROM pshall WHERE s NOT IN (SELECT s FROM hot)),
+        |np AS (SELECT doc_id, count(*) AS n FROM pf GROUP BY 1),
+        |inter AS (SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id, count(*) AS i
+        |  FROM cf c JOIN pf p USING (s) WHERE c.doc_id <> p.doc_id GROUP BY 1, 2),
+        |hits AS (SELECT DISTINCT corpus_id FROM inter JOIN np ON probe_id = np.doc_id
+        |  WHERE i * 1.0 / np.n >= 0.5),
+        |clean AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS tk,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM d WHERE doc_id NOT IN (SELECT corpus_id FROM hits)
+        |    AND doc_id % 17 <> 0),
+        |pack AS (SELECT doc_id, source, tk, rn, CAST(0 AS BIGINT) AS bin_id,
+        |    0 AS bin_pos, tk AS fill
+        |  FROM clean WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, b.source, b.tk, b.rn,
+        |    CASE WHEN p.fill + b.tk <= 128 THEN p.bin_id ELSE p.bin_id + 1 END,
+        |    CASE WHEN p.fill + b.tk <= 128 THEN p.bin_pos + 1 ELSE 0 END,
+        |    CASE WHEN p.fill + b.tk <= 128 THEN p.fill + b.tk ELSE b.tk END
+        |  FROM pack p JOIN clean b ON b.source = p.source AND b.rn = p.rn + 1)
+        |SELECT doc_id, source, tk AS n_tokens, bin_id,
+        |  CAST(bin_pos AS INTEGER) AS bin_pos FROM pack""".stripMargin,
+
+    // single grouped pass over the q54 feature formulas; ratios are one
+    // fixed-order double each, rounded to 6 dp
+    "q93_dataset_card" ->
+      """WITH base AS (SELECT source, lang, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |feats AS (SELECT source, lang, text, len(t) AS n_tokens,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |    * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+        |    * 1.0 / greatest(len(t), 1), 6) AS stopword_ratio,
+        |  round(CASE WHEN len(t) > 0 THEN list_aggregate(list_transform(t, x -> len(x)), 'sum')
+        |    * 1.0 / len(t) ELSE 0.0 END, 6) AS mean_word_len
+        |  FROM base),
+        |agg AS (SELECT source, lang, count(*) AS n_docs,
+        |  sum(n_tokens) AS n_tokens,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts,
+        |  sum(CASE WHEN n_tokens BETWEEN 20 AND 100000 AND punct_ratio <= 0.3
+        |    AND stopword_ratio >= 0.02 AND mean_word_len BETWEEN 2.0 AND 5.0
+        |    THEN 1 ELSE 0 END) AS n_quality_pass
+        |  FROM feats GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens, n_distinct_texts, n_quality_pass,
+        |  round(CAST(n_docs - n_distinct_texts AS DOUBLE) /
+        |    CAST(n_docs AS DOUBLE), 6) AS dup_ratio,
+        |  round(CAST(n_quality_pass AS DOUBLE) /
+        |    CAST(n_docs AS DOUBLE), 6) AS quality_pass_ratio
+        |FROM agg""".stripMargin,
 
     // integer-exact hashed linear model: generated weight table = Knuth
     // multiplier mix folded to [-1000, 1000]

@@ -311,6 +311,14 @@ object ApiDrive {
       s"quality-model keep rate: ${qm.filter(col("keep") === 1).count}/${qm.count}; " +
       s"cross-corpus exact dups found: ${xc.filter(col("jaccard") === 1.0).count}")
 
+    // 13n. End-to-end recipe + dataset card
+    val recipeOut = graft.operators.Recipe.trainReady(docs001,
+      docs001.filter(col("doc_id") % 17 === 0), "doc_id", "text", "source")
+    val card = graft.operators.Profile.datasetCard(docs001, Seq("source"), "text")
+    println(s"recipe packed docs: ${recipeOut.count} into " +
+      s"${recipeOut.toDF().select("group", "bin_id").distinct.count} bins; " +
+      s"card slices: ${card.count}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",
