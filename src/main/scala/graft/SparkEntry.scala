@@ -288,7 +288,7 @@ object SparkEntry {
         .select(concat(lit("p-"), col("doc_id").cast("string")).as("doc_id"),
           regexp_replace(lower(col("text")), "\\btable\\b", "tables").as("text"))
       Dedup.crossCorpusMinhashPairs(docs, batch, "doc_id", "text",
-        n = 3, perms = 9, bands = 3, threshold = 0.5)
+        n = 3, perms = 6, bands = 3, threshold = 0.5)
     },
 
     // ---- near-dup CLUSTERS: connected components (min-label + pointer
@@ -564,19 +564,28 @@ object SparkEntry {
         try walk.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t))
         finally walk.close()
       }
-      slice.grouped(97).zipWithIndex.foreach { case (c, i) =>
+      // chunk so the micro-batch COUNT stays ~6 at any sf (the output is
+      // winner-independent — it equals batch DISTINCT under any chunking —
+      // but 50+ one-file triggers would spend the bench on trigger
+      // overhead, not dedup); 97 exactly reproduces the sf0.01 layout
+      val chunk = math.max(97, math.ceil(slice.length / 6.0).toInt)
+      slice.grouped(chunk).zipWithIndex.foreach { case (c, i) =>
         s.createDataset(c.toIndexedSeq).toDF("doc_id", "text")
           .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
           .repartition(1).write.parquet(s"$tmp/in/b$i.parquet")
         stamp(s"$tmp/in/b$i.parquet", i) }
       // replay the first batch last: real duplicates that MUST be dropped
       // (their keys' state is live — the horizon spans the whole slice)
-      s.createDataset(slice.take(97).toIndexedSeq).toDF("doc_id", "text")
+      s.createDataset(slice.take(chunk).toIndexedSeq).toDF("doc_id", "text")
         .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
         .repartition(1).write.parquet(s"$tmp/in/replay.parquet")
       stamp(s"$tmp/in/replay.parquet", 100)
+      // 2 files per trigger: still several REAL micro-batches (cross-batch
+      // state drops exercised; the replay file sorts last by mtime so it
+      // always lands in a later trigger than its originals), at half the
+      // trigger/commit overhead
       val in = s.readStream.schema(s.read.parquet(s"$tmp/in/b0.parquet").schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+        .option("maxFilesPerTrigger", "2").parquet(s"$tmp/in/*")
         .select(col("ts").cast("timestamp").as("ts"), col("text"),
           md5(col("text")).as("fp"))
       val sink = s"q88_sdedup_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -1413,15 +1422,15 @@ object SparkEntry {
         |psh AS (SELECT id, list_distinct(list_transform(
         |  range(1, greatest(len(t) - 2, 0) + 1),
         |  i -> array_to_string(t[i:i+2], ' '))) AS sh FROM ptoks WHERE len(t) >= 3),
-        |csig AS (SELECT id, list_transform(range(0, 9), p ->
-        |  list_min(list_transform(sh, s -> md5(CAST(p AS VARCHAR) || '|' || s)))) AS g
+        |csig AS (SELECT id, list_transform(range(0, 6), p ->
+        |  list_min(list_transform(sh, s -> substr(md5(s), 1 + 5*p, 5)))) AS g
         |  FROM csh),
-        |psig AS (SELECT id, list_transform(range(0, 9), p ->
-        |  list_min(list_transform(sh, s -> md5(CAST(p AS VARCHAR) || '|' || s)))) AS g
+        |psig AS (SELECT id, list_transform(range(0, 6), p ->
+        |  list_min(list_transform(sh, s -> substr(md5(s), 1 + 5*p, 5)))) AS g
         |  FROM psh),
-        |cb AS (SELECT id, i AS band, g[3*i+1] || g[3*i+2] || g[3*i+3] AS key
+        |cb AS (SELECT id, i AS band, g[2*i+1] || g[2*i+2] AS key
         |  FROM csig CROSS JOIN range(0, 3) r(i)),
-        |pb AS (SELECT id, i AS band, g[3*i+1] || g[3*i+2] || g[3*i+3] AS key
+        |pb AS (SELECT id, i AS band, g[2*i+1] || g[2*i+2] AS key
         |  FROM psig CROSS JOIN range(0, 3) r(i)),
         |cands AS (SELECT DISTINCT pb.id AS batch_id, cb.id AS corpus_id
         |  FROM pb JOIN cb ON pb.band = cb.band AND pb.key = cb.key),

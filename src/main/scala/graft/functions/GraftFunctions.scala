@@ -153,6 +153,82 @@ object Kernels {
   }
 
   /**
+   * Winnowing fingerprints (Schleimer et al. 2003) in ONE linear pass:
+   * value-identical to
+   * `array_distinct(transform(sequence(1, greatest(m-w+1, 1)), j ->
+   *   array_min(slice(transform(grams, g -> substring(md5(g), 1, 15)), j, w))))`
+   * over the word-k-gram strings of whitespace-tokenized lowercase text —
+   * but the column formulation materializes every gram string, every md5
+   * hex string, and a fresh w-slice array per window; this computes the
+   * same 15-hex-char window minima with one digest per gram and a sliding
+   * compare (measured 11.3 s -> sub-second for q86 at sf0.1).
+   */
+  def winnowFps(text: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[UTF8String])
+    if (text == null) return empty
+    val raw = text.toLowerCase.toString.split("\\s+")
+    var m = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) m += 1; i += 1 }
+    if (m < k) return empty
+    val toks = new Array[Array[Byte]](m)
+    i = 0; var j = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        toks(j) = raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8); j += 1
+      }
+      i += 1
+    }
+    val count = m - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexDigits = "0123456789abcdef".toCharArray
+    val hashes = new Array[String](count)
+    i = 0
+    while (i < count) {
+      var len = k - 1
+      var t = 0
+      while (t < k) { len += toks(i + t).length; t += 1 }
+      val buf = new Array[Byte](len)
+      var p = 0
+      t = 0
+      while (t < k) {
+        if (t > 0) { buf(p) = ' '.toByte; p += 1 }
+        val tok = toks(i + t)
+        System.arraycopy(tok, 0, buf, p, tok.length); p += tok.length
+        t += 1
+      }
+      val dig = md.digest(buf)
+      // first 15 lowercase hex chars (= substring(md5(g), 1, 15))
+      val cs = new Array[Char](15)
+      var c = 0
+      while (c < 15) {
+        val b = dig(c / 2)
+        cs(c) = hexDigits(if (c % 2 == 0) (b >> 4) & 0xF else b & 0xF)
+        c += 1
+      }
+      hashes(i) = new String(cs)
+      i += 1
+    }
+    val windows = math.max(count - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    j = 0
+    while (j < windows) {
+      var mn = hashes(j)
+      var x = j + 1
+      val end = math.min(j + w, count)
+      while (x < end) { if (hashes(x).compareTo(mn) < 0) mn = hashes(x); x += 1 }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[UTF8String](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /**
    * Fixed-token-count chunk strings of a document (the span-grain chunker):
    * chunk i = tokens [i*size, (i+1)*size) space-joined. Same linear-pass
    * rationale as [[wordNgrams]] — the slice/concat_ws column formulation
@@ -522,6 +598,17 @@ object GraftFunctions {
       Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(n))),
       inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)))
 
+  /** Winnowing fingerprints of a text column (array<string> of 15-hex-char
+    * md5-prefix window minima) — linear-pass codegen'd kernel. */
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+      "winnowFps",
+      Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(k)),
+        ColumnBridge.expression(lit(w))),
+      inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType)))
+
   /** Fixed-token-count chunk strings of a text column (array<string>) —
     * linear-pass codegen'd kernel for the span-grain chunker. */
   def chunk_text(text: Column, chunkSize: Int): Column =
@@ -655,6 +742,13 @@ object GraftFunctions {
         org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
         "chunkText", args.take(2),
         inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)),
+      "built-in")
+    registry.createOrReplaceTempFunction("winnow_fps",
+      (args: Seq[Expression]) => StaticInvoke(K,
+        org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+        "winnowFps", args.take(3),
+        inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType)),
       "built-in")
     registry.createOrReplaceTempFunction("minhash_bands",
       (args: Seq[Expression]) => StaticInvoke(K,

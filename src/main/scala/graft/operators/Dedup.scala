@@ -31,15 +31,13 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles as distinct strings (empty when < n tokens). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    when(count <= 0, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), count),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+  /** Word n-gram shingles as distinct strings (empty when < n tokens).
+    * Linear-pass `word_ngrams` kernel + distinct: the slice/concat_ws
+    * column formulation is O(len²) per row after CollapseProject inlines
+    * the tokenizer into every gram site (measured 7 s of q89's budget at
+    * sf0.1 for this sub-expression alone). */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(graft.functions.GraftFunctions.word_ngrams(text, n))
 
   /**
    * Exact dedup by full text equality: keeps the smallest `idCol` per text.
@@ -198,13 +196,12 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val grams = graft.functions.GraftFunctions.word_ngrams(col(textCol), k)
-    val hashes = transform(grams, g => substring(md5(g), 1, 15))
-    val fps = when(size(hashes) < 1, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-          j => array_min(slice(hashes, j, lit(w))))))
-    df.select(col(idCol).as("doc_id"), explode(fps).as("fp"))
+    // one codegen'd pass per row (winnow_fps kernel); value-identical to
+    // the gram->md5-prefix->window-min column formulation (parity spec in
+    // KernelSpecs), which allocated every gram/hex string and a w-slice
+    // array per window
+    df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.GraftFunctions.winnow_fps(col(textCol), k, w)).as("fp"))
   }
 
   /**
@@ -366,30 +363,38 @@ object Dedup {
    * where a band collides across the two sides — but the band join is
    * batch×corpus, so its cost scales with the batch, not the corpus².
    *
-   * PORTABLE variant: the permutation hashes are md5("p|shingle") string
-   * minima (the [[winnowFingerprints]] trick — lexicographic = numeric
-   * order on fixed-width lowercase hex), so a SQL oracle replays
-   * signature, banding, candidate set, and verify byte-for-byte. The
-   * production-throughput variant of the same shape is
-   * [[minhashLshPairs]]'s codegen'd `minhash_bands` kernel over 8-byte
-   * xxhash64 keys; this one trades kernel speed for cross-engine
-   * replayability (the driver's DuckDB gate can check it value-exact).
+   * PORTABLE variant: each shingle is digested ONCE (md5), and
+   * "permutation" p orders shingles by the p-th non-overlapping
+   * 5-hex-char window of that digest (lexicographic = numeric order on
+   * fixed-width lowercase hex — the [[winnowFingerprints]] trick), so a
+   * SQL oracle replays signature, banding, candidate set, and verify
+   * byte-for-byte at ONE digest per shingle instead of `perms`. The
+   * windows are disjoint slices of a strongly mixing digest —
+   * independent enough for LSH recall, and recall is deterministic and
+   * identical in both engines regardless. The production-throughput
+   * variant of the same shape is [[minhashLshPairs]]'s codegen'd
+   * `minhash_bands` kernel over 8-byte xxhash64 keys; this one trades
+   * kernel speed for cross-engine replayability (the driver's DuckDB
+   * gate can check it value-exact).
    *
    * Returns (batch_id, corpus_id, jaccard) for verified pairs ≥ threshold.
    */
   def crossCorpusMinhashPairs(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, perms: Int = 9, bands: Int = 3,
+      n: Int = 3, perms: Int = 6, bands: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
+    require(perms * 5 <= 32, s"at most 6 md5 5-hex-char windows, got $perms")
     val rows = perms / bands
     def prepared(df: DataFrame, as: String): DataFrame = {
       val sh = shingles(col(textCol), n)
       val sig = array((0 until perms).map(p =>
-        array_min(transform(col("_sh"), s => md5(concat(lit(s"$p|"), s))))): _*)
+        array_min(transform(col("_h"), h => substring(h, 1 + 5 * p, 5)))): _*)
       df.select(col(idCol).as(as), sh.as("_sh"))
         .filter(size(col("_sh")) > 0)
+        .withColumn("_h", transform(col("_sh"), s => md5(s)))
         .withColumn("_sig", sig)
+        .drop("_h")
         .withColumn("_bands", transform(sequence(lit(0), lit(bands - 1)),
           i => concat_ws("", slice(col("_sig"), i * rows + 1, lit(rows)))))
         .localCheckpoint() // feeds the band join AND the Jaccard verify
@@ -400,12 +405,16 @@ object Dedup {
     val bBands = b.select(col("batch_id"), posexplode(col("_bands")).as(Seq("band", "key")))
     val cands = bBands.join(cBands, Seq("band", "key"))
       .select("batch_id", "corpus_id").distinct()
-    // exact-Jaccard verify over the candidates only (shingle-string grain —
-    // the portable trade; the kernel path intersects 8-byte hashes)
+    // exact-Jaccard verify over the candidates only; the intersection
+    // joins on 8-byte xxhash64 keys — shingle STRINGS never shuffle (the
+    // q26/q27 treatment; the oracle intersects the strings themselves,
+    // equal modulo 64-bit collisions)
     val bSh = b.select(col("batch_id"), size(col("_sh")).as("_nb"),
-      explode(col("_sh")).as("_s"))
+        explode(col("_sh")).as("_ss"))
+      .select(col("batch_id"), col("_nb"), xxhash64(col("_ss")).as("_s"))
     val cSh = c.select(col("corpus_id"), size(col("_sh")).as("_nc"),
-      explode(col("_sh")).as("_s"))
+        explode(col("_sh")).as("_ss"))
+      .select(col("corpus_id"), col("_nc"), xxhash64(col("_ss")).as("_s"))
     cands.join(bSh, Seq("batch_id")).join(cSh, Seq("corpus_id", "_s"))
       .groupBy("batch_id", "corpus_id", "_nb", "_nc")
       .agg(count(lit(1)).as("_i"))

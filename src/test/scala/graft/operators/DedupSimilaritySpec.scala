@@ -49,6 +49,30 @@ class DedupSimilaritySpec extends SparkSuite {
       "FROM shingle_docs").as[Int].collect().forall(_ == 16))
   }
 
+  test("winnow_fps kernel is value-identical to the gram/md5/window-min column formulation") {
+    val texts = docs.select("text").as[String].take(50).toSeq ++ Seq(
+      "  leading and   multi space", "한국어 토큰 혼합 English words here",
+      "one two three", "one two three four", "a a a a a a a a", "")
+    val df = texts.toDF("text")
+    val (k, w) = (4, 4)
+    val grams = graft.functions.GraftFunctions.word_ngrams(col("text"), k)
+    val hashes = transform(grams, g => substring(md5(g), 1, 15))
+    val viaColumns = df.select(
+      when(size(hashes) < 1, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+            j => array_min(slice(hashes, j, lit(w)))))).as("fp"))
+      .as[Seq[String]].collect().toSeq
+    val viaKernel = df.select(
+      graft.functions.GraftFunctions.winnow_fps(col("text"), k, w).as("fp"))
+      .as[Seq[String]].collect().toSeq
+    assert(viaKernel === viaColumns)
+    df.createOrReplaceTempView("winnow_docs")
+    val viaSql = spark.sql("SELECT winnow_fps(text, 4, 4) AS fp FROM winnow_docs")
+      .as[Seq[String]].collect().toSeq
+    assert(viaSql === viaColumns)
+  }
+
   test("minhash LSH pairs achieve >=90% recall of exact jaccard pairs at 0.5") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet

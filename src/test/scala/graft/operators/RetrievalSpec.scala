@@ -80,7 +80,7 @@ class RetrievalSpec extends SparkSuite {
       ("b2", "zebra yak xylophone walrus vulture termite snail rabbit")  // disjoint
     ).toDF("doc_id", "text")
     val out = Dedup.crossCorpusMinhashPairs(corpus, batch, "doc_id", "text",
-      n = 3, perms = 9, bands = 3, threshold = 0.5)
+      n = 3, perms = 6, bands = 3, threshold = 0.5)
     val pairs = out.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairs.contains(("b1", 1L, 1.0)) && pairs.contains(("b1", 3L, 1.0)),
@@ -99,7 +99,7 @@ class RetrievalSpec extends SparkSuite {
     val corpus = Seq((1L, base)).toDF("doc_id", "text")
     val batch = Seq(("b1", pert)).toDF("doc_id", "text")
     val out = Dedup.crossCorpusMinhashPairs(corpus, batch, "doc_id", "text",
-      n = 3, perms = 9, bands = 3, threshold = 0.5).collect()
+      n = 3, perms = 6, bands = 3, threshold = 0.5).collect()
     assert(out.length === 1, "the perturbed near-dup must be found")
     val j = out.head.getDouble(2)
     assert(j > 0.5 && j < 1.0, s"jaccard strictly between 0.5 and 1, got $j")
