@@ -665,6 +665,29 @@ object SparkEntry {
     "q93_dataset_card" -> ((s, dir) =>
       Profile.datasetCard(t(s, dir, "documents"), Seq("source", "lang"), "text")),
 
+    // ---- corpus release diff: the previous release is derived
+    // deterministically from md5(doc_id) slices (one slice dropped =
+    // 'added' now, one slice content-perturbed = 'changed', one slice of
+    // synthetic extra ids = 'removed'); only digests shuffle ----
+    "q94_release_diff" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pfx = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val prev = docs.filter(pfx =!= "f")
+        .select(col("doc_id"),
+          when(pfx === "0", concat(col("text"), lit(" legacy")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(pfx === "e")
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Versioning.corpusDiff(prev, docs, Seq("doc_id"), Seq("text"))
+    },
+
+    // ---- sliding-window training-sample extraction: overlapping 32-token
+    // context windows at stride 16, one linear kernel pass per document ----
+    "q95_train_windows" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        posexplode(GraftFunctions.chunk_text_stride(col("text"), 32, 16))
+          .as(Seq("chunk_idx", "chunk")))),
+
     "q71_interleaved" -> ((s, dir) =>
       Spans.interleavedTokenStream(
         Spans.chunkedSpanRows(t(s, dir, "documents"), chunkSize = 8),
@@ -1555,6 +1578,37 @@ object SparkEntry {
         |  round(CAST(n_quality_pass AS DOUBLE) /
         |    CAST(n_docs AS DOUBLE), 6) AS quality_pass_ratio
         |FROM agg""".stripMargin,
+
+    // content EQUALITY is what status depends on, so the oracle compares
+    // text directly (the engine compares md5 digests — equal modulo
+    // collision); the synthetic previous release replays the same md5
+    // doc_id slices
+    "q94_release_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |    THEN text || ' legacy' ELSE text END AS text
+        |  FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e')
+        |SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text <> n.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM prev o FULL JOIN documents n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // same windowing arithmetic: window i = tokens [i*16+1, i*16+32],
+    // last window may be short; chunk count = (len-1)//16 + 1
+    "q95_train_windows" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, t,
+        |  unnest(range(0, (len(t) - 1) // 16 + 1)) AS i
+        |  FROM toks WHERE len(t) > 0)
+        |SELECT doc_id, i AS chunk_idx,
+        |  array_to_string(t[(i*16+1):(i*16+32)], ' ') AS chunk FROM w""".stripMargin,
 
     // integer-exact hashed linear model: generated weight table = Knuth
     // multiplier mix folded to [-1000, 1000]

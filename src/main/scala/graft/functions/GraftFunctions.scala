@@ -229,6 +229,54 @@ object Kernels {
   }
 
   /**
+   * Sliding-window chunk strings with stride (the training-sample
+   * extractor: overlapping context windows over a document's tokens).
+   * Window i covers tokens [i·stride, i·stride + size); windows start
+   * while their first token exists, the last window may be short. Same
+   * linear-pass rationale as [[chunkText]] (which equals stride == size);
+   * token bytes are preserved (no lowercasing — samples keep their text).
+   */
+  def chunkTextStride(text: UTF8String, size: Int, stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[UTF8String])
+    if (text == null || size < 1 || stride < 1) return empty
+    val raw = text.toString.split(" ")
+    var m = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) m += 1; i += 1 }
+    if (m == 0) return empty
+    val toks = new Array[Array[Byte]](m)
+    i = 0; var j = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        toks(j) = raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8); j += 1
+      }
+      i += 1
+    }
+    val nWin = (m - 1) / stride + 1
+    val out = new Array[UTF8String](nWin)
+    var w = 0
+    while (w < nWin) {
+      val start = w * stride
+      val end = math.min(start + size, m)
+      var len = end - start - 1
+      var t = start
+      while (t < end) { len += toks(t).length; t += 1 }
+      val buf = new Array[Byte](len)
+      var p = 0
+      t = start
+      while (t < end) {
+        if (t > start) { buf(p) = ' '.toByte; p += 1 }
+        System.arraycopy(toks(t), 0, buf, p, toks(t).length); p += toks(t).length
+        t += 1
+      }
+      out(w) = UTF8String.fromBytes(buf)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /**
    * Fixed-token-count chunk strings of a document (the span-grain chunker):
    * chunk i = tokens [i*size, (i+1)*size) space-joined. Same linear-pass
    * rationale as [[wordNgrams]] — the slice/concat_ws column formulation
@@ -598,6 +646,17 @@ object GraftFunctions {
       Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(n))),
       inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)))
 
+  /** Sliding-window chunk strings with stride (array<string>) —
+    * linear-pass codegen'd kernel for overlapping context windows. */
+  def chunk_text_stride(text: Column, size: Int, stride: Int): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+      "chunkTextStride",
+      Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(size)),
+        ColumnBridge.expression(lit(stride))),
+      inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType)))
+
   /** Winnowing fingerprints of a text column (array<string> of 15-hex-char
     * md5-prefix window minima) — linear-pass codegen'd kernel. */
   def winnow_fps(text: Column, k: Int, w: Int): Column =
@@ -742,6 +801,13 @@ object GraftFunctions {
         org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
         "chunkText", args.take(2),
         inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)),
+      "built-in")
+    registry.createOrReplaceTempFunction("chunk_text_stride",
+      (args: Seq[Expression]) => StaticInvoke(K,
+        org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+        "chunkTextStride", args.take(3),
+        inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType)),
       "built-in")
     registry.createOrReplaceTempFunction("winnow_fps",
       (args: Seq[Expression]) => StaticInvoke(K,

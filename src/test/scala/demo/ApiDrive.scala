@@ -319,6 +319,15 @@ object ApiDrive {
       s"${recipeOut.toDF().select("group", "bin_id").distinct.count} bins; " +
       s"card slices: ${card.count}")
 
+    // 13o. Release diff + sliding training windows
+    val diff = graft.operators.Versioning.diffSummary(
+      docs001.limit(400).select(col("doc_id"), col("text")),
+      docs001.select(col("doc_id"), col("text")), Seq("doc_id"), Seq("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val win = docs001.select(posexplode(
+      graft.functions.GraftFunctions.chunk_text_stride(col("text"), 32, 16)))
+    println(s"release diff: $diff; training windows: ${win.count}")
+
     // 14. Publish (K6): commit out/+cache to the data repo; clean re-publish
     // is a no-op ("no changes to commit")
     val c1 = graft.sinks.Publish.publish(spark, s"$dir/repo",
