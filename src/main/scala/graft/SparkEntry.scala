@@ -1850,7 +1850,7 @@ object SparkEntry {
         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
         |), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
         |scored AS (
-        |  SELECT t.doc_id, t.term, (t.tf * 1000000 * n.n) // d.df AS score
+        |  SELECT t.doc_id, t.term, (t.tf * 1000000) // d.df AS score
         |  FROM tf t JOIN dfx d USING (term) CROSS JOIN n
         |), ranked AS (
         |  SELECT *, row_number() OVER (

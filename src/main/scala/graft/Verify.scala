@@ -19,10 +19,12 @@ object Verify {
   def fingerprint(df: DataFrame): (Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     val canonical = df.select(
-      concat_ws("", df.columns.sorted.map(c =>
+      concat_ws("\u0001", df.columns.sorted.map(c =>
         // concat_ws SKIPS nulls even with a separator - sentinel them so a
-        // value sliding between a null and a non-null column moves the hash
-        coalesce(col(c).cast("string"), lit("NULL"))): _*).as("_row"))
+        // value sliding between a null and a non-null column moves the
+        // hash; the \u0001 separator keeps column BOUNDARIES in the hash
+        // too (("1","23") must not fingerprint like ("12","3"))
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*).as("_row"))
     val ranked = canonical.withColumn("_rk",
       row_number().over(Window.orderBy(col("_row"))))
     // 32-bit folds summed: ANSI-safe below ~2^31 rows, content+order sensitive

@@ -31,8 +31,14 @@ object Compaction {
     if (!Files.isDirectory(root)) return Seq.empty
     val parts = {
       val s = Files.list(root)
-      try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.contains("=")).toSeq
+      try s.iterator().asScala.filter { p =>
+        val name = p.getFileName.toString
+        // skip staging/backup dirs from an interrupted swap
+        // (.compact_old_*/.compact_tmp_* contain '=' too) the same way
+        // isDataFile skips hidden files
+        Files.isDirectory(p) && name.contains("=") &&
+          !name.startsWith(".") && !name.startsWith("_")
+      }.toSeq
       finally s.close()
     }
     parts.map { p =>

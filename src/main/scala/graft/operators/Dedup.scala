@@ -153,9 +153,14 @@ object Dedup {
       .filter(col("count") > (if (maxShingleFreq <= 0) Long.MaxValue else maxShingleFreq))
       .select("shingle_h")
     val cf = ch.join(broadcast(hot), Seq("shingle_h"), "left_anti")
+    // the probe side feeds TWO consumers (denominator agg + intersection
+    // join) — stage it once; the corpus-side explode stays lazy on purpose
+    // (at decontamination scale, re-running a map-side scan is cheaper
+    // than materializing a corpus-sized shingle table)
     val pf0 = probe.select(col(probeId).as("probe_id"),
       explode(shingleHashes(col(probeText), n)).as("shingle_h"))
       .join(broadcast(hot), Seq("shingle_h"), "left_anti")
+      .localCheckpoint()
     val pf = if (broadcastProbe) broadcast(pf0) else pf0
     val np = pf0.groupBy("probe_id").agg(count(lit(1)).as("np"))
     val inter = cf.join(pf, Seq("shingle_h"))

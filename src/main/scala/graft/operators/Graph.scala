@@ -46,6 +46,12 @@ object Graph {
       .join(deg, Seq("src"))
       .repartition(col("src"))
       .localCheckpoint()
+    // the dangling-node ID SET is static: derive it once from the staged
+    // lineage (not per iteration from the caller's raw edge plan — q73's
+    // edge expression is a crossJoin + 3-way union that would otherwise
+    // re-aggregate O(|E|) every round)
+    val danglingIds = ids.join(deg.select(col("src").as("id")), Seq("id"),
+      "left_anti").localCheckpoint()
     var ranks = ids.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var i = 0
     while (i < iterations) {
@@ -53,8 +59,7 @@ object Graph {
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("out_deg")).as("in_mass"))
       // dangling nodes donate their mass uniformly: 1-row agg, broadcast
-      val dangling = ranks.join(deg.select(col("src").as("id")), Seq("id"),
-          "left_anti")
+      val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0.0)).as("dangling_mass"))
       val next = ids
         .join(contribs, Seq("id"), "left")

@@ -40,13 +40,18 @@ object Packing {
       .as[(Long, String, Long)]
       .mapPartitions { it =>
         // groups never straddle partitions (hash-partitioned above), so
-        // per-partition carried state is exact
+        // per-partition carried state is exact; `started` (not a null
+        // sentinel in curGroup) so a NULL group's first row still takes
+        // the group-init branch
+        var started = false
         var curGroup: String = null
         var fill = 0L
         var bin = 0L
         var pos = 0
         it.map { case (id, g, t) =>
-          if (g != curGroup) { curGroup = g; bin = 0L; pos = 0; fill = t }
+          if (!started || g != curGroup) {
+            started = true; curGroup = g; bin = 0L; pos = 0; fill = t
+          }
           else if (fill + t <= capacity) { pos += 1; fill += t }
           else { bin += 1L; pos = 0; fill = t }
           PackedDoc(id, g, t, bin, pos)

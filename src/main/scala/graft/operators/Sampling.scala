@@ -25,7 +25,7 @@ object Sampling {
     require(hexThreshold.nonEmpty &&
       hexThreshold.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
       s"threshold must be lowercase hex, got '$hexThreshold'")
-    df.filter(substring(md5(col(keyCol)), 1, hexThreshold.length) < hexThreshold)
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, hexThreshold.length) < hexThreshold)
   }
 
   /**
@@ -45,7 +45,7 @@ object Sampling {
       n: Int, tieCol: String): DataFrame = {
     require(n >= 1, s"sample size must be >= 1, got $n")
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(col(keyCol)), col(tieCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(tieCol))
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= n)
   }

@@ -273,7 +273,9 @@ object Similarity {
     import spark.implicits._
     val v = corpus.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
-    val dim = v.select(size(col("_v"))).head().getInt(0)
+    val dimRow = v.select(size(col("_v"))).limit(1).collect()
+    require(dimRow.nonEmpty, "pqTopK needs a non-empty corpus")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     // ---- train: one Lloyd loop over (subspace, subvector) rows from a
@@ -316,7 +318,10 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("_pos"), col("_mn")))).as("_sv"))
         .select(col("_s"), col("_c"), transform(col("_sv"), e => e.getField("_mn")).as("_m"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-      codebook = Array.tabulate(m)(s => Array.tabulate(ksub)(j =>
+      // rebuild over the INITIALIZED codebook size — a corpus/sample with
+      // fewer than ksub vectors seeds fewer centroids per subspace, and
+      // tabulating to ksub would index past them
+      codebook = Array.tabulate(m)(s => Array.tabulate(codebook(s).length)(j =>
         means.getOrElse((s, j), codebook(s)(j))))
     }
     // ---- encode: codes + reconstructed squared norm per corpus vector ----

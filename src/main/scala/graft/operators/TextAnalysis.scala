@@ -213,7 +213,7 @@ object TextAnalysis {
   /**
    * TF-IDF top terms per document — the keyword-extraction / feature table
    * of a curation pipeline. The score is EXACT integer arithmetic,
-   * `(tf * 1_000_000 * N) div df` (monotone in tf·N/df), so the ranking is
+   * `(tf * 1_000_000) div df` (monotone in tf/df), so the ranking is
    * reproducible bit-for-bit across engines — no `ln()` float whose last
    * ulp differs between libm implementations.
    *
@@ -250,11 +250,12 @@ object TextAnalysis {
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_c"))
-    val grams = transform(sequence(lit(0), size(col("_toks")) - 2), i =>
-      concat_ws(" ", element_at(col("_toks"), i + 1), element_at(col("_toks"), i + 2)))
-    val biStats = base
-      .select(col("doc_id"), explode(when(size(col("_toks")) >= 2, grams)
-        .otherwise(array().cast("array<string>"))).as("g"))
+    // linear word_ngrams kernel pass — the element_at-per-position column
+    // formulation is O(len²) per row after CollapseProject inlines the
+    // tokenizer into every gram site (the ngramCounts lesson)
+    val biStats = df
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions.word_ngrams(col(textCol), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum(col("c")).as("n_bigrams"),
@@ -415,7 +416,7 @@ object TextAnalysis {
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     tf.join(dfx, "term")
       .crossJoin(broadcast(n))
-      .withColumn("score", expr("tf * 1000000 * n div df"))
+      .withColumn("score", expr("tf * 1000000 div df"))
       .withColumn("term_rank", row_number().over(w).cast("long"))
       .filter(col("term_rank") <= k)
       .select("doc_id", "term", "score", "term_rank")

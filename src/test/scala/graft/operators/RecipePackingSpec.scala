@@ -69,6 +69,21 @@ class RecipePackingSpec extends SparkSuite {
     assert(out(7L) === ((1L, 0))) // 12+1 > 8 -> next bin
   }
 
+  test("packSequences: a NULL group's first document still opens bin 0 slot 0") {
+    val docs = Seq(
+      (1L, Option.empty[String], 5L), (2L, Option.empty[String], 3L),
+      (3L, Option("g"), 4L)
+    ).toDF("doc_id", "source", "t")
+    val out = Packing.packSequences(docs, "doc_id", "source", col("t"), capacity = 8L)
+      .collect().map(p => p.doc_id -> ((p.bin_id, p.bin_pos))).toMap
+    // regression: curGroup starts null, so a null group's first row used
+    // to skip the group-init branch (null != null is false) and inherit
+    // stale fill/pos state
+    assert(out(1L) === ((0L, 0)))
+    assert(out(2L) === ((0L, 1)))
+    assert(out(3L) === ((0L, 0)))
+  }
+
   test("packSequences bins respect capacity except oversized singletons; stats report waste") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val packed = Packing.packSequences(docs, "doc_id", "source",

@@ -17,12 +17,12 @@ class SamplingTfidfSpec extends SparkSuite {
     val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
-    // doc 1: banana tf=2 df=2 -> 2*1e6*4/2 = 4e6; durian tf=1 df=1 -> 4e6.
+    // doc 1: banana tf=2 df=2 -> 2*1e6/2 = 1e6; durian tf=1 df=1 -> 1e6.
     // Equal scores break ties alphabetically: banana first.
     assert(byDoc(1L).map(t => (t._2, t._3)) ===
-      Seq(("banana", 4000000L), ("durian", 4000000L)))
-    // doc 2: cherry tf=3 df=2 -> 3*1e6*4/2 = 6e6 beats apple tf=1 df=2 -> 2e6
-    assert(byDoc(2L).head._2 === "cherry" && byDoc(2L).head._3 === 6000000L)
+      Seq(("banana", 1000000L), ("durian", 1000000L)))
+    // doc 2: cherry tf=3 df=2 -> 3*1e6/2 = 1.5e6 beats apple tf=1 df=2 -> 5e5
+    assert(byDoc(2L).head._2 === "cherry" && byDoc(2L).head._3 === 1500000L)
     // every doc emits exactly min(k, |vocab_doc|) rows with ranks 1..n
     assert(out.count(_._1 === 3L) === 2)
     assert(byDoc(3L).map(_._4) === Seq(1L, 2L))
