@@ -557,7 +557,13 @@ object Crawl {
       // 7. state updates + lineage: the parquet footer makes the fresh
       // count near-free; the frontier count drives the full expand (the
       // fetch happens HERE) while caching only the (small) links
-      val scheduledCount = frontierCount
+      // count what was actually OFFERED to scheduling: failed-site rows
+      // pruned by frontierLive were never duplicate URLs and must not be
+      // absorbed into the 'deduped' lineage metric (the extra count runs
+      // only on the rare failure path)
+      val scheduledCount =
+        if (midCrawlFailures.isEmpty) frontierCount
+        else tick("live.count", wave)(frontierLive.count())
       val freshCount = tick("staged.count", wave)(fetchInput.count())
       frontierCount = tick("expand+links.count", wave)(nextFrontier.count())
       val waveLineage = waveLineageBase

@@ -198,7 +198,34 @@ object Publish {
       false
     }
     val head = readHead(repo)
-    val carried = head.map(_.manifest).getOrElse(Map.empty)
+    // a HEAD written before manifests were recorded (empty manifest on a
+    // real commit) would otherwise carry forward NOTHING and silently
+    // drop every previously published file from the tree at the upgrade
+    // boundary — fall back to digesting the committed working tree itself
+    val headManifest = head match {
+      case Some(h) if h.manifest.isEmpty && h.files > 0 =>
+        // same digest the manifest() path records: sha-256 of raw bytes
+        val out = Map.newBuilder[String, String]
+        val walk = java.nio.file.Files.walk(repo)
+        try {
+          val it = walk.filter(java.nio.file.Files.isRegularFile(_)).iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val rel = repo.relativize(p).toString.replace('\\', '/')
+            val hidden = rel.split('/').exists(seg =>
+              seg.startsWith(".") || seg.startsWith("_"))
+            if (!hidden) {
+              val d = java.security.MessageDigest.getInstance("SHA-256")
+              out += rel -> d.digest(java.nio.file.Files.readAllBytes(p))
+                .map("%02x".format(_)).mkString
+            }
+          }
+        } finally walk.close()
+        out.result()
+      case Some(h) => h.manifest
+      case None => Map.empty[String, String]
+    }
+    val carried = headManifest
       .filterNot { case (p, _) =>
         incomingPaths(p) || underEmitted(p) || excluded(p) }
       .toSeq

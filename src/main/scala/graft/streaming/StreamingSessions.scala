@@ -101,8 +101,19 @@ object StreamingSessions {
             }
             open.foreach { s =>
               state.update(s)
-              // fire once the watermark passes end + gap (ms precision)
-              state.setTimeoutTimestamp(s.endUs / 1000L + gapSec * 1000L + 1L)
+              // fire once the watermark passes end + gap (ms precision).
+              // CLAMPED above the current eviction watermark: Spark 4
+              // filters input by the PREVIOUS batch's late-event watermark
+              // but validates timeouts against the NEWER eviction one, so
+              // a straggler after an event-time jump > gap (idle resume,
+              // backfill burst) would otherwise compute a timeout below
+              // the watermark and kill the query with
+              // IllegalArgumentException. The clamp closes such a session
+              // at the next watermark advance — membership is unchanged
+              // (assignment depends on the gap logic, not the timeout).
+              val fireAt = s.endUs / 1000L + gapSec * 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(fireAt, state.getCurrentWatermarkMs() + 1L))
             }
             closed.result().iterator
           }
