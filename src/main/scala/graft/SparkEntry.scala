@@ -759,10 +759,15 @@ object SparkEntry {
         .groupBy("subword").agg(count(lit(1)).as("n_occ"))
     },
 
-    // ---- inverted index (search layer; head-cut caps stopword postings) ----
+    // ---- inverted index (search layer; head-cut caps stopword postings).
+    // The postings list rides as a canonical comma-joined string so the
+    // driver's dtype-sensitive hash can adjudicate it (pandas cannot hash a
+    // raw LIST column) ----
     "q80_inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
-        minDf = 3L, maxDf = 400L)),
+        minDf = 3L, maxDf = 400L)
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), ","))),
 
     // ---- PMI collocations (phrase mining; single fixed-order double
     // expression on both sides, 6 dp) ----
@@ -979,7 +984,8 @@ object SparkEntry {
       (0 until 6).map(k =>
         s"""SELECT $k AS rank, split_part(pair, ' ', 1) AS "left",
            |  split_part(pair, ' ', 2) AS "right",
-           |  replace(pair, ' ', '') AS merged, c AS pair_count FROM b$k""".stripMargin)
+           |  replace(pair, ' ', '') AS merged,
+           |  CAST(c AS BIGINT) AS pair_count FROM b$k""".stripMargin)
         .mkString("\nUNION ALL\n")),
 
     "q80_inverted_index" ->
@@ -987,7 +993,8 @@ object SparkEntry {
         |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0)) AS term FROM documents),
         |dt AS (SELECT DISTINCT doc_id, term FROM t)
-        |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+        |SELECT term, count(*) AS df,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         |FROM dt GROUP BY 1 HAVING count(*) BETWEEN 3 AND 400""".stripMargin,
 
     "q81_pmi" ->
@@ -1093,7 +1100,7 @@ object SparkEntry {
         |FROM documents d JOIN nl USING (doc_id) LEFT JOIN txt t2 USING (doc_id)""".stripMargin,
 
     "q77_bpe_segment" -> bpeOracle(6,
-      """SELECT subword, sum(n) AS n_occ FROM (
+      """SELECT subword, CAST(sum(n) AS BIGINT) AS n_occ FROM (
         |  SELECT unnest(string_split(substr(w, 2, len(w) - 2),
         |    e'\x1f'||e'\x1f')) AS subword, n FROM w6)
         |GROUP BY 1""".stripMargin),
@@ -1566,11 +1573,11 @@ object SparkEntry {
         |    * 1.0 / len(t) ELSE 0.0 END, 6) AS mean_word_len
         |  FROM base),
         |agg AS (SELECT source, lang, count(*) AS n_docs,
-        |  sum(n_tokens) AS n_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  count(DISTINCT md5(text)) AS n_distinct_texts,
-        |  sum(CASE WHEN n_tokens BETWEEN 20 AND 100000 AND punct_ratio <= 0.3
+        |  CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 100000 AND punct_ratio <= 0.3
         |    AND stopword_ratio >= 0.02 AND mean_word_len BETWEEN 2.0 AND 5.0
-        |    THEN 1 ELSE 0 END) AS n_quality_pass
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
         |  FROM feats GROUP BY 1, 2)
         |SELECT source, lang, n_docs, n_tokens, n_distinct_texts, n_quality_pass,
         |  round(CAST(n_docs - n_distinct_texts AS DOUBLE) /
@@ -1619,7 +1626,7 @@ object SparkEntry {
         |  count(*) AS tf FROM (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0)) AS token FROM documents) GROUP BY 1, 2)
-        |SELECT doc_id, sum(tf * w.w) AS score_micro,
+        |SELECT doc_id, CAST(sum(tf * w.w) AS BIGINT) AS score_micro,
         |  CAST(sum(tf * w.w) >= 0 AS INT) AS keep
         |FROM tf JOIN w USING (bucket) GROUP BY doc_id""".stripMargin,
 
@@ -1987,24 +1994,24 @@ object SparkEntry {
 
     "q74_profile" ->
       """SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
-        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
         |  count(DISTINCT o_orderkey) AS n_distinct,
         |  CAST(min(o_orderkey) AS VARCHAR) AS min_value,
         |  CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
         |UNION ALL
         |SELECT 'o_custkey', count(*),
-        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT o_custkey),
         |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
         |  FROM orders
         |UNION ALL
         |SELECT 'o_orderstatus', count(*),
-        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT o_orderstatus),
         |  min(o_orderstatus), max(o_orderstatus) FROM orders
         |UNION ALL
         |SELECT 'o_orderpriority', count(*),
-        |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority) FROM orders""".stripMargin,
 
