@@ -605,6 +605,8 @@ object Bench {
               s""""during_high_sec":${duringHigh.map(d => if (d.isNaN) "null" else f"$d%.3f").mkString("[", ",", "]")},""" +
               s""""during_low_max":${duringLowSamples.map(s => if (s.isEmpty) "null" else f"${s.max}%.3f").mkString("[", ",", "]")},""" +
               s""""during_low_n":${duringLowSamples.map(_.size).mkString("[", ",", "]")},""" +
+              s""""during_high_max":${duringHighSamples.map(s => if (s.isEmpty) "null" else f"${s.max}%.3f").mkString("[", ",", "]")},""" +
+              s""""during_high_n":${duringHighSamples.map(_.size).mkString("[", ",", "]")},""" +
               f""""during_band":$duringBand%.2f,""" +
               s""""during_floor_low":${if (histDurLow.isNaN) "null" else f"$histDurLow%.3f"},""" +
               s""""during_floor_high":${if (histDurHigh.isNaN) "null" else f"$histDurHigh%.3f"},""" +

@@ -1605,14 +1605,17 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |FROM prev o FULL JOIN documents n ON o.doc_id = n.doc_id""".stripMargin,
 
-    // same windowing arithmetic: window i = tokens [i*16+1, i*16+32],
-    // last window may be short; chunk count = (len-1)//16 + 1
+    // same windowing arithmetic: window i = tokens [i*16+1, i*16+32];
+    // emission stops with the first window covering the document end
+    // (chunk count = 1 for len<=32, else (len-32+15)//16 + 1), so no
+    // window is a strict suffix-subset of its predecessor
     "q95_train_windows" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
         |  FROM documents),
         |w AS (SELECT doc_id, t,
-        |  unnest(range(0, (len(t) - 1) // 16 + 1)) AS i
+        |  unnest(range(0, CASE WHEN len(t) <= 32 THEN 1
+        |    ELSE (len(t) - 32 + 15) // 16 + 1 END)) AS i
         |  FROM toks WHERE len(t) > 0)
         |SELECT doc_id, i AS chunk_idx,
         |  array_to_string(t[(i*16+1):(i*16+32)], ' ') AS chunk FROM w""".stripMargin,
@@ -1855,10 +1858,9 @@ object SparkEntry {
         |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
         |), dfx AS (
         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-        |scored AS (
+        |), scored AS (
         |  SELECT t.doc_id, t.term, (t.tf * 1000000) // d.df AS score
-        |  FROM tf t JOIN dfx d USING (term) CROSS JOIN n
+        |  FROM tf t JOIN dfx d USING (term)
         |), ranked AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY score DESC, term) AS rnk

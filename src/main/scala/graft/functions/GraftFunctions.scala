@@ -231,8 +231,10 @@ object Kernels {
   /**
    * Sliding-window chunk strings with stride (the training-sample
    * extractor: overlapping context windows over a document's tokens).
-   * Window i covers tokens [i·stride, i·stride + size); windows start
-   * while their first token exists, the last window may be short. Same
+   * Window i covers tokens [i·stride, i·stride + size); emission stops
+   * with the first window that covers the document end (so no window is a
+   * strict suffix-subset of its predecessor), and that last window may be
+   * short. Same
    * linear-pass rationale as [[chunkText]] (which equals stride == size);
    * token bytes are preserved (no lowercasing — samples keep their text).
    */
@@ -253,7 +255,11 @@ object Kernels {
       }
       i += 1
     }
-    val nWin = (m - 1) / stride + 1
+    // stop once a window's end reaches the document end: with stride <
+    // size, later starts would emit strict suffix-subsets of the previous
+    // window (duplicate training samples). The last window is the first
+    // whose [start, start+size) covers the tail.
+    val nWin = if (m <= size) 1 else (m - size + stride - 1) / stride + 1
     val out = new Array[UTF8String](nWin)
     var w = 0
     while (w < nWin) {

@@ -402,14 +402,19 @@ object Dedup {
         .drop("_h")
         .withColumn("_bands", transform(sequence(lit(0), lit(bands - 1)),
           i => concat_ws("", slice(col("_sig"), i * rows + 1, lit(rows)))))
-        .localCheckpoint() // feeds the band join AND the Jaccard verify
     }
+    // only BATCH-scaled frames materialize: the batch prep (feeds the band
+    // join and the verify) and the candidate pair table (feeds the semi-join
+    // probe and the final join). The corpus streams map-side through the
+    // band join and is re-derived for candidate ids only — a corpus-sized
+    // shingle table never materializes or checkpoints.
     val c = prepared(corpus, "corpus_id")
-    val b = prepared(batch, "batch_id")
+    val b = prepared(batch, "batch_id").localCheckpoint()
     val cBands = c.select(col("corpus_id"), posexplode(col("_bands")).as(Seq("band", "key")))
     val bBands = b.select(col("batch_id"), posexplode(col("_bands")).as(Seq("band", "key")))
     val cands = bBands.join(cBands, Seq("band", "key"))
       .select("batch_id", "corpus_id").distinct()
+      .localCheckpoint()
     // exact-Jaccard verify over the candidates only; the intersection
     // joins on 8-byte xxhash64 keys — shingle STRINGS never shuffle (the
     // q26/q27 treatment; the oracle intersects the strings themselves,
@@ -417,7 +422,12 @@ object Dedup {
     val bSh = b.select(col("batch_id"), size(col("_sh")).as("_nb"),
         explode(col("_sh")).as("_ss"))
       .select(col("batch_id"), col("_nb"), xxhash64(col("_ss")).as("_s"))
-    val cSh = c.select(col("corpus_id"), size(col("_sh")).as("_nc"),
+    val candCorpus = broadcast(cands.select("corpus_id").distinct())
+    val cSh = corpus.select(col(idCol).as("corpus_id"), col(textCol))
+      .join(candCorpus, Seq("corpus_id"), "left_semi")
+      .select(col("corpus_id"), shingles(col(textCol), n).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col("corpus_id"), size(col("_sh")).as("_nc"),
         explode(col("_sh")).as("_ss"))
       .select(col("corpus_id"), col("_nc"), xxhash64(col("_ss")).as("_s"))
     cands.join(bSh, Seq("batch_id")).join(cSh, Seq("corpus_id", "_s"))

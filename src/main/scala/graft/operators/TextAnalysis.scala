@@ -412,10 +412,8 @@ object TextAnalysis {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = df.select(countDistinct(col(idCol)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     tf.join(dfx, "term")
-      .crossJoin(broadcast(n))
       .withColumn("score", expr("tf * 1000000 div df"))
       .withColumn("term_rank", row_number().over(w).cast("long"))
       .filter(col("term_rank") <= k)

@@ -42,8 +42,10 @@ class VersioningSpec extends SparkSuite {
     val out = df.select(col("i"),
         graft.functions.GraftFunctions.chunk_text_stride(col("text"), 4, 2).as("w"))
       .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
-    // windows of 4 at stride 2 over 7 tokens: starts 0,2,4,6
-    assert(out(0) === Seq("a b c d", "c d e f", "e f g", "g"))
+    // windows of 4 at stride 2 over 7 tokens: starts 0,2,4 — start 6
+    // ("g") would be a strict suffix of "e f g", so emission stops with
+    // the first window covering the tail
+    assert(out(0) === Seq("a b c d", "c d e f", "e f g"))
     assert(out(1) === Seq("x"))
     assert(out(2) === Seq.empty)
     // stride == size equals the non-overlapping chunker
@@ -55,6 +57,6 @@ class VersioningSpec extends SparkSuite {
     // SQL registration resolves
     df.createOrReplaceTempView("ctsdocs")
     assert(spark.sql("SELECT size(chunk_text_stride(text, 4, 2)) FROM ctsdocs WHERE i = 0")
-      .as[Int].head === 4)
+      .as[Int].head === 3)
   }
 }
