@@ -811,6 +811,16 @@ object SparkEntry {
         "embedding", cachedKmeans(s, dir), threshold = 0.4)
         .select(col("vec_id"), col("label"), col("cluster"))),
 
+    // ---- the COMPOSED embedding-dedup pipeline (q53) on its 100-TB pair
+    // stage: cluster-scoped pairs (SemDeDup Σ n_c² economics) instead of
+    // the exact O(n²) tile join — the production configuration for large
+    // corpora; shares the memoized k-means assignment with q83-q85 ----
+    "q96_embedding_dedup_clustered" -> ((s, dir) =>
+      Similarity.dedupCorpusByEmbedding(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.4,
+        Similarity.PairStage.Clustered(assign = Some(cachedKmeans(s, dir))))
+        .select(col("vec_id"))),
+
     // ---- change-rate-aware recrawl scheduling (daemon cron generalized:
     // per-site cadence from observed posting rate, integer-exact) ----
     "q79_recrawl" -> ((s, dir) =>
@@ -1053,6 +1063,23 @@ object SparkEntry {
         |lbl AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u)
         |SELECT e.vec_id, e.label, a3.c AS cluster
         |FROM embeddings e JOIN a3 ON a3.vec_id = e.vec_id
+        |WHERE e.vec_id NOT IN (SELECT id FROM lbl WHERE id <> comp)""".stripMargin),
+
+    // the q85 replay (Lloyd loop + within-cluster pairs + recursive
+    // closure) with the composed pipeline's output shape: kept ids only
+    "q96_embedding_dedup_clustered" ->
+      ("WITH RECURSIVE " + kmeansOracleCtes(dim = 64, k = 8, iters = 3) + """,
+        |pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  JOIN a3 ca ON ca.vec_id = a.vec_id
+        |  JOIN a3 cb ON cb.vec_id = b.vec_id
+        |  WHERE ca.c = cb.c AND list_cosine_similarity(
+        |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+        |edg AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (SELECT u, v FROM edg
+        |  UNION SELECT r.u, e2.v FROM reach r JOIN edg e2 ON r.v = e2.u),
+        |lbl AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT e.vec_id FROM embeddings e
         |WHERE e.vec_id NOT IN (SELECT id FROM lbl WHERE id <> comp)""".stripMargin),
 
     // chr(4352,4449,4363,4454) = decomposed 가에; chr(769) = combining acute

@@ -235,17 +235,52 @@ object Similarity {
   }
 
   /**
+   * Pair-detector choice for [[dedupCorpusByEmbedding]].
+   *
+   *  - [[PairStage.Exact]]: the block-tile all-pairs join — value-exact at
+   *    any threshold, but O(n²) FLOPs and a tile count quadratic in corpus
+   *    size. The oracle twin; the right stage for tests and bounded
+   *    corpora, NOT for a 100 TB run.
+   *  - [[PairStage.Lsh]]: hyperplane-LSH candidates + exact cosine verify
+   *    ([[nearDupPairsLsh]]) — sub-quadratic; never invents a pair, may
+   *    miss wide-angle ones (recall measured in DedupSimilaritySpec).
+   *  - [[PairStage.Clustered]]: within-cluster tiles over a k-means
+   *    assignment (SemDeDup economics — pair work bounded by Σ n_c²);
+   *    pass a precomputed assignment to cluster once and consume many.
+   */
+  sealed trait PairStage
+  object PairStage {
+    final case class Exact(blocks: Int = 8) extends PairStage
+    final case class Lsh(bitsPerTable: Int = 8, tables: Int = 8) extends PairStage
+    final case class Clustered(k: Int = 64, iters: Int = 3,
+      assign: Option[DataFrame] = None) extends PairStage
+  }
+
+  /**
    * The COMPOSED embedding-dedup pipeline, corpus in -> deduplicated
-   * corpus out: exact block-tile cosine pairs -> transitive near-dup
-   * clusters (min-label + pointer jumping) -> one canonical row per
-   * cluster. The embedding-space analog of [[Dedup.dedupCorpus]]; every
-   * stage is the scale-shaped operator above.
+   * corpus out: cosine near-dup pairs (detector per `stage`) ->
+   * transitive near-dup clusters (min-label + pointer jumping) -> one
+   * canonical row per cluster. The embedding-space analog of
+   * [[Dedup.dedupCorpus]]; every stage is the scale-shaped operator
+   * above. The default stage is the exact tile join for value-exactness;
+   * production corpora beyond ~10⁶ vectors should pass
+   * [[PairStage.Lsh]] (high thresholds) or [[PairStage.Clustered]]
+   * (any threshold, SemDeDup semantics) — both sub-quadratic.
    */
   def dedupCorpusByEmbedding(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      blocks: Int = 8): DataFrame =
-    Dedup.keepClusterRepresentatives(corpus, idCol,
-      Dedup.nearDupClusters(nearDupPairs(corpus, idCol, vecCol, threshold, blocks)))
+      stage: PairStage = PairStage.Exact()): DataFrame = {
+    val pairs = stage match {
+      case PairStage.Exact(blocks) =>
+        nearDupPairs(corpus, idCol, vecCol, threshold, blocks)
+      case PairStage.Lsh(bits, tables) =>
+        nearDupPairsLsh(corpus, idCol, vecCol, threshold, bits, tables)
+      case PairStage.Clustered(k, iters, assign) =>
+        val a = assign.getOrElse(kmeansClusters(corpus, idCol, vecCol, k, iters))
+        withinClusterPairs(corpus, idCol, vecCol, a, threshold)
+    }
+    Dedup.keepClusterRepresentatives(corpus, idCol, Dedup.nearDupClusters(pairs))
+  }
 
   /**
    * Product-quantization ANN (the FAISS PQ/ADC shape): vectors are split
@@ -478,6 +513,22 @@ object Similarity {
     * Lloyd per consumer. */
   def semanticDedupFrom(corpus: DataFrame, idCol: String, vecCol: String,
       clusters: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
+    val withC = corpus.join(
+      clusters.select(col(idCol), col("cluster")), Seq(idCol))
+    val pairs = withinClusterPairs(corpus, idCol, vecCol, clusters, threshold, blocks)
+    Dedup.keepClusterRepresentatives(withC, idCol, Dedup.nearDupClusters(pairs))
+  }
+
+  /**
+   * Within-cluster exact cosine pairs: the [[nearDupPairs]] block-tile
+   * scheme with the cluster id PREFIXED to the tile key, so a tile never
+   * crosses clusters and the shuffle stays evenly sliced — pair work is
+   * bounded by Σ n_c² instead of n² (the SemDeDup economics). Shared by
+   * [[semanticDedupFrom]] and [[dedupCorpusByEmbedding]]'s
+   * [[PairStage.Clustered]]. Returns (a, b) with a < b.
+   */
+  def withinClusterPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      clusters: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
     val b = blocks
     val withC = corpus.join(
       clusters.select(col(idCol), col("cluster")), Seq(idCol))
@@ -492,13 +543,12 @@ object Similarity {
       col("_blk").as("_bb"), explode(sequence(lit(0), col("_blk"))).as("_i"))
       .select(col("_idb"), col("_c"), col("_vb"), col("_bb"),
         (col("_i") * b + col("_bb")).as("_tile"))
-    val pairs = lhs.join(rhs, Seq("_c", "_tile"))
+    lhs.join(rhs, Seq("_c", "_tile"))
       .filter(col("_ba") =!= col("_bb") || col("_ida") < col("_idb"))
       .withColumn("sim", GraftFunctions.cosine_sim(col("_va"), col("_vb")))
       .filter(col("sim") >= threshold)
       .select(least(col("_ida"), col("_idb")).as("a"),
         greatest(col("_ida"), col("_idb")).as("b"))
-    Dedup.keepClusterRepresentatives(withC, idCol, Dedup.nearDupClusters(pairs))
   }
 
   /**

@@ -152,6 +152,36 @@ class DedupSimilaritySpec extends SparkSuite {
       clusters.select("cluster").distinct().count())
   }
 
+  test("composed embedding dedup: sub-quadratic pair stages match the exact pipeline") {
+    // planted near-dups: 30 well-separated base vectors, each with a clone
+    // at cosine ≈ 0.999 — the high-threshold regime where hyperplane-LSH
+    // recall ≈ 1. Deterministic (seeded + hash-based LSH), so the equality
+    // is stable, not probabilistic at run time.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 30).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian())
+      val clone = base.map(x => x + rnd.nextGaussian() * 0.01)
+      Seq((i.toLong * 2, base.toSeq), (i.toLong * 2 + 1, clone.toSeq))
+    }
+    val planted = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.dedupCorpusByEmbedding(planted, "vec_id", "embedding", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.dedupCorpusByEmbedding(planted, "vec_id", "embedding", 0.9,
+      Similarity.PairStage.Lsh(bitsPerTable = 8, tables = 16))
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.size === 30, "each clone pair must collapse to one kept row")
+    assert(lsh === exact)
+    // the clustered stage reproduces semanticDedup's kept set on the
+    // fixture corpus (same assignment, same within-cluster pair semantics)
+    val assign = Similarity.kmeansClusters(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val viaStage = Similarity.dedupCorpusByEmbedding(emb, "vec_id", "embedding", 0.4,
+      Similarity.PairStage.Clustered(assign = Some(assign)))
+      .select("vec_id").as[Long].collect().toSet
+    val viaSem = Similarity.semanticDedupFrom(emb, "vec_id", "embedding", assign, 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaStage === viaSem)
+  }
+
   test("quality filter keeps exactly the rows inside the feature envelope") {
     val kept = TextAnalysis.qualityFilter(docs, "text")
     val feats = docs.select(col("doc_id"),
