@@ -382,18 +382,26 @@ object SparkEntry {
     "q33_langid" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
 
-    // ---- crawl engine (deterministic synthetic web; no SQL oracle —
-    // invariants asserted in graft.crawl.CrawlSpec instead) ----
+    // ---- crawl engine (deterministic synthetic web). The schedule/seen/
+    // lineage queries replay in DuckDB: the site registry rides into the
+    // oracle as literal VALUES and the SCHEDULING semantics (pagination
+    // fan-out, visibility, idAt, URL grammar + canonical param sort,
+    // politeness clock) are recomputed independently in SQL. url_hash
+    // (xxhash64) is engine-internal and derivable from `canonical`, so the
+    // projection carries the canonical string instead; lineage aggregates
+    // to wave grain (partition ids are engine-internal layout). ----
     "q34_crawl_schedule" -> ((s, _) =>
       cachedCrawl(s, crawlCfg).schedule
-        .select("wave", "host", "canonical", "url_hash", "site_id", "page", "row",
+        .select("wave", "host", "canonical", "site_id", "page", "row",
           "ready_ms", "crawl_delay_ms")),
 
     "q35_crawl_seen" -> ((s, _) =>
       cachedCrawl(s, crawlCfg).seen
         .groupBy("first_wave").agg(count(lit(1)).as("n_urls"))),
 
-    "q36_crawl_lineage" -> ((s, _) => cachedCrawl(s, crawlCfg).lineage),
+    "q36_crawl_lineage" -> ((s, _) => cachedCrawl(s, crawlCfg).lineage
+      .groupBy("wave").agg(max(col("scheduled")).as("scheduled"),
+        max(col("deduped")).as("deduped"), sum(col("fetched")).as("fetched"))),
 
     "q37_pipeline_feeds" -> { (s, _) =>
       val out = graft.crawl.Pipeline.runDaemon(s, crawlCfg,
@@ -959,6 +967,103 @@ object SparkEntry {
     ctes.mkString(",\n")
   }
 
+  /**
+   * q34/q35/q36/q49 oracle base: the frontier crawl replayed in SQL. The
+   * site registry (static input config) rides as literal VALUES; every
+   * piece of crawl BEHAVIOR is recomputed independently in DuckDB —
+   * Zipf post counts ceil(scale/rank), rev-0 visibility (multiples of 23
+   * hidden), per-site limit pushdown, the static pagination fan-out
+   * (lastPage seeds at wave 0, reference ssucatch lib.rs:261-295), the
+   * newest-first idAt closed form (q-th non-multiple of 23 = q+(q-1)/22),
+   * the per-family URL grammar (gnuboard mod.rs:84-147 and SURVEY §2.1
+   * S1-S9) with RFC-3986 canonical query-param sorting, shared-host
+   * politeness buckets (max robots delay per host), and the per-host
+   * virtual clock rank*(delay) in (depth, site_id, page, row) order.
+   * Produces CTEs `w0r` (wave-0 list rows) and `w1r` (wave-1 post rows)
+   * with columns (wave, host, canonical, site_id, page, "row", ready_ms,
+   * crawl_delay_ms).
+   */
+  private def crawlOracleCtes(scale: Long, limit: Long): String = {
+    val siteValues = graft.crawl.Sites.all.map(s =>
+      s"('${s.site_id}', '${s.host}', '${s.base_url}', '${s.family}', " +
+        s"${s.page_size}, ${s.crawl_delay_ms}, ${s.zipf_rank})")
+      .mkString(",\n    ")
+    // canonical list-page / post URL per family: the two sites whose base
+    // query params sort AFTER the appended param (materials tbl=, ssudorm
+    // viewform=) are spelled out in canonical order
+    val listCanon =
+      """CASE family
+        |  WHEN 'gnuboard' THEN concat(base_url, '&page=', page)
+        |  WHEN 'wordpress' THEN concat(base_url, '/page/', page)
+        |  WHEN 'ssucatch' THEN concat(base_url, '?paged=', page)
+        |  WHEN 'offset' THEN CASE site_id
+        |    WHEN 'materials.ssu.ac.kr' THEN concat(
+        |      'https://materials.ssu.ac.kr/bbs/board.php?offset=',
+        |      (page - 1) * page_size, '&tbl=bbs51')
+        |    WHEN 'ssudorm.ssu.ac.kr' THEN concat(
+        |      'https://ssudorm.ssu.ac.kr:444/SShostel/mall_main.php?offset=',
+        |      (page - 1) * page_size, '&viewform=B0001_noticeboard_list')
+        |    WHEN 'biz.ssu.ac.kr' THEN concat(base_url, '&offset=', (page - 1) * page_size)
+        |    ELSE concat(base_url, '?offset=', (page - 1) * page_size) END
+        |  WHEN 'cursor' THEN concat(base_url, '?LastNoticeIndex=', (page - 1) * page_size)
+        |  WHEN 'api' THEN concat(base_url, '/api/board?page=', page, '&size=', page_size)
+        |  WHEN 'lz' THEN concat(base_url, '?page=', page)
+        |  WHEN 'auth' THEN concat(base_url, '?pageIndex=', page)
+        |  WHEN 'calendar' THEN concat(base_url, '?years=', 2024 + page)
+        |END""".stripMargin
+    val postCanon =
+      """CASE family
+        |  WHEN 'gnuboard' THEN concat(base_url, '&wr_id=', post_id)
+        |  WHEN 'wordpress' THEN concat(base_url, '/?slug=post-', post_id)
+        |  WHEN 'ssucatch' THEN concat(base_url, '?slug=notice-', post_id)
+        |  WHEN 'offset' THEN CASE site_id
+        |    WHEN 'materials.ssu.ac.kr' THEN concat(
+        |      'https://materials.ssu.ac.kr/bbs/board.php?idx=', post_id, '&tbl=bbs51')
+        |    WHEN 'ssudorm.ssu.ac.kr' THEN concat(
+        |      'https://ssudorm.ssu.ac.kr:444/SShostel/mall_main.php?idx=', post_id,
+        |      '&viewform=B0001_noticeboard_list')
+        |    WHEN 'biz.ssu.ac.kr' THEN concat(base_url, '&idx=', post_id)
+        |    ELSE concat(base_url, '?idx=', post_id) END
+        |  WHEN 'cursor' THEN concat(base_url, '/view?no=', post_id)
+        |  WHEN 'api' THEN concat(base_url, '/api/post?id=', post_id)
+        |  WHEN 'lz' THEN concat(replace(base_url, 'notice_list.do', 'notice_view.do'),
+        |    '?sbSeq=', to_base64(CAST(CAST(post_id AS VARCHAR) AS BLOB)))
+        |  WHEN 'auth' THEN concat(base_url, '?encSddpbSeq=enc', post_id)
+        |  WHEN 'calendar' THEN concat(base_url, '?event=', post_id)
+        |END""".stripMargin
+    s"""sites(site_id, host, base_url, family, page_size, delay_site, zipf_rank) AS (VALUES
+       |    $siteValues),
+       |hosts AS (SELECT host, max(delay_site) AS crawl_delay_ms FROM sites GROUP BY 1),
+       |s1 AS (SELECT sites.*, hosts.crawl_delay_ms,
+       |  CAST(ceil($scale * 1.0 / zipf_rank) AS BIGINT) AS total0
+       |  FROM sites JOIN hosts USING (host)),
+       |s2 AS (SELECT *, total0 - total0 // 23 AS visible,
+       |  least(total0 - total0 // 23, $limit) AS wanted FROM s1),
+       |s3 AS (SELECT *, CASE WHEN family = 'calendar' THEN 2
+       |  ELSE greatest(1, (wanted + page_size - 1) // page_size) END AS last_page FROM s2),
+       |w0 AS (SELECT site_id, host, family, base_url, page_size, crawl_delay_ms,
+       |    total0, wanted, CAST(unnest(range(1, last_page + 1)) AS INT) AS page
+       |  FROM s3),
+       |w0r AS (SELECT 0 AS wave, host, $listCanon AS canonical, site_id, page,
+       |  0 AS "row",
+       |  CAST((row_number() OVER (PARTITION BY host ORDER BY site_id, page) - 1)
+       |    * crawl_delay_ms AS BIGINT) AS ready_ms,
+       |  CAST(crawl_delay_ms AS INT) AS crawl_delay_ms FROM w0),
+       |p0 AS (SELECT *, (page - 1) * CAST(page_size AS BIGINT) AS page_start,
+       |  least(page_size, wanted - (page - 1) * CAST(page_size AS BIGINT)) AS on_page
+       |  FROM w0),
+       |p1 AS (SELECT *, CAST(unnest(range(0, on_page)) AS INT) AS r
+       |  FROM p0 WHERE on_page > 0),
+       |p2 AS (SELECT *,
+       |  (visible - pos) + ((visible - pos) - 1) // 22 AS post_id FROM (
+       |    SELECT *, total0 - total0 // 23 AS visible, page_start + r AS pos FROM p1)),
+       |w1r AS (SELECT 1 AS wave, host, $postCanon AS canonical, site_id, page,
+       |  r AS "row",
+       |  CAST((row_number() OVER (PARTITION BY host ORDER BY site_id, page, r) - 1)
+       |    * crawl_delay_ms AS BIGINT) AS ready_ms,
+       |  CAST(crawl_delay_ms AS INT) AS crawl_delay_ms FROM p2)""".stripMargin
+  }
+
   private def bpeOracle(rounds: Int, finalSelect: String): String = {
     val S = "e'\\x1f'"
     val sb = new StringBuilder
@@ -990,6 +1095,41 @@ object SparkEntry {
   // generation — validated against exact results in ScalaTest instead).
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = Map(
+    // the full two-wave frontier schedule replayed from the site registry
+    "q34_crawl_schedule" ->
+      ("WITH " + crawlOracleCtes(scale = 100, limit = 30) +
+        "\nSELECT * FROM w0r UNION ALL SELECT * FROM w1r"),
+
+    // seen-set growth per wave = the schedule's wave sizes (every scheduled
+    // URL is fresh at this config: seeds are distinct by construction and
+    // post ids are listed exactly once)
+    "q35_crawl_seen" ->
+      ("WITH " + crawlOracleCtes(scale = 100, limit = 30) + """
+        |SELECT first_wave, CAST(count(*) AS BIGINT) AS n_urls FROM (
+        |  SELECT 0 AS first_wave FROM w0r
+        |  UNION ALL SELECT 1 AS first_wave FROM w1r)
+        |GROUP BY 1""".stripMargin),
+
+    // wave-grain lineage: scheduled = the wave's frontier offer, deduped =
+    // scheduled - fetched (0 here — no duplicate URLs at this config),
+    // fetched = staged rows
+    "q36_crawl_lineage" ->
+      ("WITH " + crawlOracleCtes(scale = 100, limit = 30) + """,
+        |c0 AS (SELECT count(*) AS n FROM w0r),
+        |c1 AS (SELECT count(*) AS n FROM w1r)
+        |SELECT 0 AS wave, CAST(c0.n AS BIGINT) AS scheduled,
+        |  CAST(0 AS BIGINT) AS deduped, CAST(c0.n AS BIGINT) AS fetched FROM c0
+        |UNION ALL
+        |SELECT 1, CAST(c1.n AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(c1.n AS BIGINT) FROM c1""".stripMargin),
+
+    // the streaming crawl's per-site post volume = the wave-1 fan-out of
+    // the same registry at (scale=60, limit=10)
+    "q49_streaming_crawl" ->
+      ("WITH " + crawlOracleCtes(scale = 60, limit = 10) + """
+        |SELECT site_id, CAST(count(*) AS BIGINT) AS n_posts
+        |FROM w1r GROUP BY 1""".stripMargin),
+
     "q76_bpe_learn" -> bpeOracle(6,
       (0 until 6).map(k =>
         s"""SELECT $k AS rank, split_part(pair, ' ', 1) AS "left",
