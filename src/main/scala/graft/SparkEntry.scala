@@ -1064,6 +1064,83 @@ object SparkEntry {
        |  CAST(crawl_delay_ms AS INT) AS crawl_delay_ms FROM p2)""".stripMargin
   }
 
+  /**
+   * q44 oracle: the calendar year-page generation + parse + range pipeline
+   * replayed in DuckDB. The synthetic page's splitmix64-style `mix`
+   * finalizer (SyntheticWeb.mix) is emulated bit-exactly in HUGEINT
+   * arithmetic (wrapping 64-bit multiply = split-word mod-2^64; unsigned
+   * shift = floor-div), so event counts, days, and vocab picks replay
+   * exactly; then the CalendarParser range-dialect inference
+   * (single day / same-month / day-only-next-month / cross-year December,
+   * lib.rs:197-271), KST timestamps as UTC instants, and the
+   * `{id}:{start}:{end}:{slug}` event id (lib.rs:332-369) are recomputed
+   * independently in SQL.
+   */
+  private def calendarOracleSql(scale: Long, year: Int): String = {
+    val C1 = "11400714819323198485::HUGEINT"
+    val C2 = "13787848793156543929::HUGEINT"
+    val C3 = "10723151780598845931::HUGEINT"
+    def mw(a: String, b: String) =
+      s"((($a) % 4294967296) * ($b) + ((($a) // 4294967296) * (($b) % 4294967296)" +
+        s" % 4294967296) * 4294967296) % 18446744073709551616"
+    // one mix(x, y) = 6 chained CTEs (staged columns keep the expression
+    // tree linear instead of exponentiating through the xor-shift reuses)
+    def mixChain(p: String, from: String, xExpr: String, yExpr: String): String =
+      s"""${p}1 AS (SELECT *, xor(CAST($xExpr AS HUGEINT), ${mw(s"CAST($yExpr AS HUGEINT)", C1)}) AS ${p}_h0 FROM $from),
+         |${p}2 AS (SELECT *, xor(${p}_h0, ${p}_h0 // 1073741824) AS ${p}_h1 FROM ${p}1),
+         |${p}3 AS (SELECT *, ${mw(s"${p}_h1", C2)} AS ${p}_h2 FROM ${p}2),
+         |${p}4 AS (SELECT *, xor(${p}_h2, ${p}_h2 // 134217728) AS ${p}_h3 FROM ${p}3),
+         |${p}5 AS (SELECT *, ${mw(s"${p}_h3", C3)} AS ${p}_h4 FROM ${p}4),
+         |${p}6 AS (SELECT *, xor(${p}_h4, ${p}_h4 // 2147483648) AS $p FROM ${p}5)""".stripMargin
+    def absu(h: String) =
+      s"(CASE WHEN $h < 9223372036854775808::HUGEINT THEN $h" +
+        s" ELSE 18446744073709551616::HUGEINT - $h END)"
+    val vocabLit = graft.crawl.SyntheticWeb.vocabWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH months AS (SELECT CAST(unnest(range(1, 13)) AS INT) AS m),
+       |${mixChain("hy", "months", scale.toString, year.toString)},
+       |${mixChain("hm", "hy6", "hy", "m")},
+       |ev0 AS (SELECT m, hm, CAST(1 + ${absu("hm")} % 3 AS INT) AS n_events FROM hm6),
+       |ev1 AS (SELECT m, hm, CAST(unnest(range(0, n_events)) AS INT) AS k FROM ev0),
+       |${mixChain("hk", "ev1", "hm", "k")},
+       |ev2 AS (SELECT m, k, hk, CAST(1 + ${absu("hk")} % 20 AS INT) AS day FROM hk6),
+       |${mixChain("g1", "ev2", "hk", "1")},
+       |${mixChain("g2", "g16", "hk", "2")},
+       |ev3 AS (SELECT m, k, hk, day,
+       |  list_extract($vocabLit, CAST(${absu("g1")} % 32 AS INT) + 1) AS w1,
+       |  list_extract($vocabLit, CAST(${absu("g2")} % 32 AS INT) + 1) AS w2
+       |  FROM g26),
+       |ev4 AS (SELECT *, concat($year, '학년도 ', w1, ' ', w2, ' (', m, '-', k, ')') AS title,
+       |  CASE WHEN k % 3 = 0 AND m = 12 THEN 28 ELSE day END AS sd,
+       |  CASE
+       |    WHEN k % 3 = 0 AND m = 12 THEN $year + 1
+       |    WHEN k % 3 = 2 AND day > 1 AND m = 12 THEN $year + 1
+       |    ELSE $year END AS ey,
+       |  CASE
+       |    WHEN k % 3 = 0 AND m = 12 THEN 1
+       |    WHEN k % 3 = 0 THEN m
+       |    WHEN k % 3 = 1 THEN m
+       |    WHEN day > 1 THEN m % 12 + 1
+       |    ELSE m END AS em,
+       |  CASE
+       |    WHEN k % 3 = 0 AND m = 12 THEN 1 + CAST(${absu("hk")} % 5 AS INT)
+       |    WHEN k % 3 = 0 THEN day
+       |    WHEN k % 3 = 1 THEN day + 5
+       |    ELSE greatest(1, day - 1) END AS ed
+       |  FROM ev3),
+       |ev5 AS (SELECT title,
+       |  concat('ssu-academic-calendar:',
+       |    strftime(make_date($year, m, sd), '%Y-%m-%d'), ':',
+       |    strftime(make_date(ey, em, ed), '%Y-%m-%d'), ':',
+       |    trim(regexp_replace(lower(title), '[^\\p{L}\\p{N}]+', '-', 'g'), '-')) AS id,
+       |  make_timestamp($year, m, sd, 0, 0, 0) - INTERVAL 9 HOUR AS starts_at,
+       |  make_timestamp(ey, em, ed, 23, 59, 59) - INTERVAL 9 HOUR AS ends_at
+       |  FROM ev4)
+       |SELECT id, title, starts_at, ends_at FROM ev5
+       |WHERE starts_at BETWEEN TIMESTAMP '$year-01-01 00:00:00'
+       |  AND TIMESTAMP '$year-12-31 23:59:59'""".stripMargin
+  }
+
   private def bpeOracle(rounds: Int, finalSelect: String): String = {
     val S = "e'\\x1f'"
     val sb = new StringBuilder
@@ -1122,6 +1199,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT 1, CAST(c1.n AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(c1.n AS BIGINT) FROM c1""".stripMargin),
+
+    // the calendar pipeline (year-page synth -> parse -> replace-in-range)
+    // replayed in full, mix() emulated bit-exactly in HUGEINT
+    "q44_calendar" -> calendarOracleSql(scale = 100, year = 2026),
 
     // the streaming crawl's per-site post volume = the wave-1 fan-out of
     // the same registry at (scale=60, limit=10)

@@ -64,6 +64,10 @@ object SyntheticWeb {
 
   // --- deterministic content ------------------------------------------------
 
+  /** Exposed for oracle generation (the word list is fixture config —
+    * SparkEntry's q44 DuckDB replay embeds it as a literal). */
+  private[graft] def vocabWords: Seq[String] = vocab.toSeq
+
   private val vocab: Array[String] = Array(
     "수강신청", "장학금", "공지", "안내", "모집", "신청", "변경", "학사", "일정", "프로그램",
     "notice", "announcement", "deadline", "schedule", "apply", "update", "seminar",
