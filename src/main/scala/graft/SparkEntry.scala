@@ -1076,13 +1076,17 @@ object SparkEntry {
    * `{id}:{start}:{end}:{slug}` event id (lib.rs:332-369) are recomputed
    * independently in SQL.
    */
+  /** Wrapping 64-bit multiply in DuckDB HUGEINT: split-word mod-2^64
+    * (a*b mod 2^64 = lo(a)*b + (hi(a)*lo(b) mod 2^32)<<32, all < 2^97). */
+  private def mw64(a: String, b: String): String =
+    s"((($a) % 4294967296) * ($b) + ((($a) // 4294967296) * (($b) % 4294967296)" +
+      s" % 4294967296) * 4294967296) % 18446744073709551616"
+
   private def calendarOracleSql(scale: Long, year: Int): String = {
     val C1 = "11400714819323198485::HUGEINT"
     val C2 = "13787848793156543929::HUGEINT"
     val C3 = "10723151780598845931::HUGEINT"
-    def mw(a: String, b: String) =
-      s"((($a) % 4294967296) * ($b) + ((($a) // 4294967296) * (($b) % 4294967296)" +
-        s" % 4294967296) * 4294967296) % 18446744073709551616"
+    def mw(a: String, b: String) = mw64(a, b)
     // one mix(x, y) = 6 chained CTEs (staged columns keep the expression
     // tree linear instead of exponentiating through the xor-shift reuses)
     def mixChain(p: String, from: String, xExpr: String, yExpr: String): String =
@@ -1141,6 +1145,123 @@ object SparkEntry {
        |  AND TIMESTAMP '$year-12-31 23:59:59'""".stripMargin
   }
 
+  /**
+   * q28 oracle: the engine's SimHash (FNV-1a-64 token hash, per-bit
+   * majority vote, 16-bit pigeonhole blocks) replayed bit-exactly in
+   * DuckDB — FNV's wrapping multiply folds through HUGEINT ([[mw64]]),
+   * the UTF-8 byte stream comes from hex-decoding `encode(token)`, and
+   * the block join + hamming verify mirror Dedup.simhashPairs. The block
+   * scheme is EXACT for hamming <= 3 (pigeonhole over 4 blocks), so this
+   * checks the full output, not a recall sample.
+   */
+  private def simhashOracleSql(maxDist: Int): String = {
+    val bitsVals = (0 until 64).map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
+    val fnvFold = mw64("xor(acc, CAST(x AS HUGEINT))", "1099511628211::HUGEINT")
+    s"""WITH tok0 AS (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS t
+       |  FROM documents),
+       |toks AS (SELECT doc_id, t, count(*) AS w FROM tok0 GROUP BY 1, 2),
+       |dist AS (SELECT DISTINCT t FROM toks),
+       |by0 AS (SELECT t, lower(to_hex(encode(t))) AS hx FROM dist),
+       |by1 AS (SELECT t, list_transform(range(1, octet_length(encode(t)) + 1),
+       |  i -> 16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i-1 AS INT), 1)) - 1)
+       |     + (strpos('0123456789abcdef', substr(hx, CAST(2*i AS INT), 1)) - 1)) AS bytes
+       |  FROM by0),
+       |fnv AS (SELECT t, list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT, bytes),
+       |  (acc, x) -> $fnvFold) AS h FROM by1),
+       |bits(b, p) AS (VALUES $bitsVals),
+       |votes AS (SELECT doc_id, b, p,
+       |  sum(CASE WHEN (h // p) % 2 = 1 THEN w ELSE -w END) AS v
+       |  FROM toks JOIN fnv USING (t) CROSS JOIN bits GROUP BY 1, 2, 3),
+       |sigu AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN p ELSE 0::HUGEINT END) AS su
+       |  FROM votes GROUP BY 1),
+       |sig AS (SELECT doc_id, su, CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+       |  THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS ss FROM sigu),
+       |shifts(blk, q) AS (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+       |  (2, 4294967296::HUGEINT), (3, 281474976710656::HUGEINT)),
+       |keys AS (SELECT doc_id, ss, blk, (su // q) % 65536 AS key FROM sig CROSS JOIN shifts),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.ss AS sa, r.ss AS sb
+       |  FROM keys l JOIN keys r ON l.blk = r.blk AND l.key = r.key
+       |  AND l.doc_id < r.doc_id)
+       |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxDist""".stripMargin
+  }
+
+  /**
+   * q30 oracle: the hyperplane-LSH ANN pipeline replayed in DuckDB. The
+   * kernel's plane components are XXH64 chains
+   * (`hashLong(t*7919+13, hashInt(i, hashInt(p, 42)))` /
+   * Long.MaxValue — GraftFunctions.hyperplaneSigs), and XXH64's 4/8-byte
+   * paths are short fixed-round functions, so they emulate bit-exactly in
+   * HUGEINT (wrapping multiply via [[mw64]], rotations as shift-sums,
+   * unsigned shifts as floor-div). The 16x4x64 component table is built
+   * once; per-vector dots replay the kernel's i-ascending accumulation
+   * order as an ordered list fold (IEEE-identical), buckets, candidate
+   * join, exact cosine verify and top-k then mirror Similarity.lshTopK.
+   * This checks the detector's ACTUAL candidates — including its misses —
+   * not a recall sample.
+   */
+  private def lshTopKOracleSql(bits: Int, tables: Int, dim: Int, k: Int): String = {
+    val M = "18446744073709551616"
+    val P1 = "11400714785074694791::HUGEINT"
+    val P2 = "14029467366897019727::HUGEINT"
+    val P3 = "1609587929392839161::HUGEINT"
+    val P4 = "9650029242287828579::HUGEINT"
+    val P5 = "2870177450012600261::HUGEINT"
+    def rotl(x: String, r: Int) =
+      s"((($x) * ${BigInt(1) << r} % $M) + (($x) // ${BigInt(1) << (64 - r)}))"
+    def fmix(pfx: String, src: String, from: String) =
+      s"""${pfx}f1 AS (SELECT *, xor($src, $src // 8589934592) AS ${pfx}_m1 FROM $from),
+         |${pfx}f2 AS (SELECT *, ${mw64(s"${pfx}_m1", P2)} AS ${pfx}_m2 FROM ${pfx}f1),
+         |${pfx}f3 AS (SELECT *, xor(${pfx}_m2, ${pfx}_m2 // 536870912) AS ${pfx}_m3 FROM ${pfx}f2),
+         |${pfx}f4 AS (SELECT *, ${mw64(s"${pfx}_m3", P3)} AS ${pfx}_m4 FROM ${pfx}f3),
+         |${pfx}z AS (SELECT *, xor(${pfx}_m4, ${pfx}_m4 // 4294967296) AS $pfx FROM ${pfx}f4)""".stripMargin
+    // XXH64.hashInt(input, seed): 4-byte path
+    def xxhInt(pfx: String, from: String, input: String, seed: String) =
+      s"""${pfx}a AS (SELECT *, (($seed) + $P5 + 4) % $M AS ${pfx}_a FROM $from),
+         |${pfx}b AS (SELECT *, xor(${pfx}_a, ${mw64(input, P1)}) AS ${pfx}_b FROM ${pfx}a),
+         |${pfx}c AS (SELECT *, (${mw64(rotl(s"${pfx}_b", 23), P2)} + $P3) % $M AS ${pfx}_c FROM ${pfx}b),
+         |${fmix(pfx, s"${pfx}_c", s"${pfx}c")}""".stripMargin
+    // XXH64.hashLong(input, seed): 8-byte path
+    def xxhLong(pfx: String, from: String, input: String, seed: String) =
+      s"""${pfx}a AS (SELECT *, (($seed) + $P5 + 8) % $M AS ${pfx}_a FROM $from),
+         |${pfx}k AS (SELECT *, ${mw64(rotl(mw64(input, P2), 31), P1)} AS ${pfx}_k FROM ${pfx}a),
+         |${pfx}b AS (SELECT *, xor(${pfx}_a, ${pfx}_k) AS ${pfx}_b FROM ${pfx}k),
+         |${pfx}c AS (SELECT *, (${mw64(rotl(s"${pfx}_b", 27), P1)} + $P4) % $M AS ${pfx}_c FROM ${pfx}b),
+         |${fmix(pfx, s"${pfx}_c", s"${pfx}c")}""".stripMargin
+    s"""WITH ps AS (SELECT CAST(unnest(range(0, $bits)) AS HUGEINT) AS p),
+       |${xxhInt("s1", "ps", "p", "42::HUGEINT")},
+       |is0 AS (SELECT p, s1, CAST(unnest(range(0, $dim)) AS HUGEINT) AS i FROM s1z),
+       |${xxhInt("h2", "is0", "i", "s1")},
+       |ts0 AS (SELECT p, i, h2, CAST(unnest(range(0, $tables)) AS HUGEINT) AS t FROM h2z),
+       |${xxhLong("cc", "ts0", "(t * 7919 + 13)", "h2")},
+       |comps AS (SELECT CAST(t AS INT) AS t, CAST(p AS INT) AS p, CAST(i AS INT) AS i,
+       |  CAST(CAST(CASE WHEN cc >= 9223372036854775808::HUGEINT
+       |    THEN cc - 18446744073709551616::HUGEINT ELSE cc END AS BIGINT) AS DOUBLE)
+       |    / CAST(9223372036854775807 AS DOUBLE) AS comp
+       |  FROM ccz),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |prods AS (SELECT e.vec_id, c.t, c.p, c.i, e.v[c.i + 1] * c.comp AS prod
+       |  FROM emb e CROSS JOIN comps c),
+       |dots AS (SELECT vec_id, t, p,
+       |  list_reduce(list_prepend(0.0, list(prod ORDER BY i)), (a, x) -> a + x) AS dot
+       |  FROM prods GROUP BY 1, 2, 3),
+       |sigs AS (SELECT vec_id, t,
+       |  sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS neighbor_id
+       |  FROM sigs q JOIN sigs s ON q.t = s.t AND q.bucket = s.bucket
+       |  WHERE q.vec_id < 10 AND q.vec_id <> s.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+       |  JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rk, round(sim, 6) AS sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS rk FROM scored) WHERE rk <= $k""".stripMargin
+  }
+
   private def bpeOracle(rounds: Int, finalSelect: String): String = {
     val S = "e'\\x1f'"
     val sb = new StringBuilder
@@ -1168,10 +1289,34 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
-  // DuckDB oracles. Omitted for q27/q28/q30 (approximate candidate
-  // generation — validated against exact results in ScalaTest instead).
+  // DuckDB oracles — one per query.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = Map(
+    // MinHash-LSH verified pairs: at (bands=32, rows=2) the per-pair miss
+    // probability at jaccard 0.5 is (1 - 0.25)^32 ≈ 1e-4 and the detector
+    // recovers the COMPLETE exact pair set on this corpus (asserted at
+    // sf0.001/0.01/0.1) — the oracle is the exact all-pairs jaccard with
+    // the same threshold and no df-cut (q26's replay, cut removed), so a
+    // single missed candidate or wrong verify value fails the row
+    "q27_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 0) + 1),
+        |  i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+        |FROM inter JOIN sz x ON a = x.doc_id JOIN sz y ON b = y.doc_id
+        |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin,
+
+    "q28_simhash" -> simhashOracleSql(maxDist = 3),
+
+    "q30_ann_lsh" -> lshTopKOracleSql(bits = 4, tables = 16, dim = 64, k = 5),
+
     // the full two-wave frontier schedule replayed from the site registry
     "q34_crawl_schedule" ->
       ("WITH " + crawlOracleCtes(scale = 100, limit = 30) +
