@@ -984,9 +984,16 @@ object SparkEntry {
    * crawl_delay_ms).
    */
   private def crawlOracleCtes(scale: Long, limit: Long): String = {
+    // idhash = java String.hashCode of the site id, sign-extended to 64
+    // bits and held unsigned — the content seed fetchPost mixes with
+    // (pure function of the registry, emitted as literal config)
+    def idhash(id: String): BigInt = {
+      val h = BigInt(id.hashCode.toLong)
+      if (h < 0) h + (BigInt(1) << 64) else h
+    }
     val siteValues = graft.crawl.Sites.all.map(s =>
       s"('${s.site_id}', '${s.host}', '${s.base_url}', '${s.family}', " +
-        s"${s.page_size}, ${s.crawl_delay_ms}, ${s.zipf_rank})")
+        s"${s.page_size}, ${s.crawl_delay_ms}, ${s.zipf_rank}, ${idhash(s.site_id)})")
       .mkString(",\n    ")
     // canonical list-page / post URL per family: the two sites whose base
     // query params sort AFTER the appended param (materials tbl=, ssudorm
@@ -1031,7 +1038,7 @@ object SparkEntry {
         |  WHEN 'auth' THEN concat(base_url, '?encSddpbSeq=enc', post_id)
         |  WHEN 'calendar' THEN concat(base_url, '?event=', post_id)
         |END""".stripMargin
-    s"""sites(site_id, host, base_url, family, page_size, delay_site, zipf_rank) AS (VALUES
+    s"""sites(site_id, host, base_url, family, page_size, delay_site, zipf_rank, idhash) AS (VALUES
        |    $siteValues),
        |hosts AS (SELECT host, max(delay_site) AS crawl_delay_ms FROM sites GROUP BY 1),
        |s1 AS (SELECT sites.*, hosts.crawl_delay_ms,
@@ -1042,7 +1049,7 @@ object SparkEntry {
        |s3 AS (SELECT *, CASE WHEN family = 'calendar' THEN 2
        |  ELSE greatest(1, (wanted + page_size - 1) // page_size) END AS last_page FROM s2),
        |w0 AS (SELECT site_id, host, family, base_url, page_size, crawl_delay_ms,
-       |    total0, wanted, CAST(unnest(range(1, last_page + 1)) AS INT) AS page
+       |    total0, wanted, idhash, CAST(unnest(range(1, last_page + 1)) AS INT) AS page
        |  FROM s3),
        |w0r AS (SELECT 0 AS wave, host, $listCanon AS canonical, site_id, page,
        |  0 AS "row",
@@ -1082,23 +1089,28 @@ object SparkEntry {
     s"((($a) % 4294967296) * ($b) + ((($a) // 4294967296) * (($b) % 4294967296)" +
       s" % 4294967296) * 4294967296) % 18446744073709551616"
 
-  private def calendarOracleSql(scale: Long, year: Int): String = {
+  /** One SyntheticWeb.mix(x, y) = 6 chained CTEs in HUGEINT (staged
+    * columns keep the expression tree linear instead of exponentiating
+    * through the xor-shift reuses). The final CTE is named `${p}6` and
+    * exposes the result column `$p`. */
+  private def mixChain(p: String, from: String, xExpr: String, yExpr: String): String = {
     val C1 = "11400714819323198485::HUGEINT"
     val C2 = "13787848793156543929::HUGEINT"
     val C3 = "10723151780598845931::HUGEINT"
-    def mw(a: String, b: String) = mw64(a, b)
-    // one mix(x, y) = 6 chained CTEs (staged columns keep the expression
-    // tree linear instead of exponentiating through the xor-shift reuses)
-    def mixChain(p: String, from: String, xExpr: String, yExpr: String): String =
-      s"""${p}1 AS (SELECT *, xor(CAST($xExpr AS HUGEINT), ${mw(s"CAST($yExpr AS HUGEINT)", C1)}) AS ${p}_h0 FROM $from),
-         |${p}2 AS (SELECT *, xor(${p}_h0, ${p}_h0 // 1073741824) AS ${p}_h1 FROM ${p}1),
-         |${p}3 AS (SELECT *, ${mw(s"${p}_h1", C2)} AS ${p}_h2 FROM ${p}2),
-         |${p}4 AS (SELECT *, xor(${p}_h2, ${p}_h2 // 134217728) AS ${p}_h3 FROM ${p}3),
-         |${p}5 AS (SELECT *, ${mw(s"${p}_h3", C3)} AS ${p}_h4 FROM ${p}4),
-         |${p}6 AS (SELECT *, xor(${p}_h4, ${p}_h4 // 2147483648) AS $p FROM ${p}5)""".stripMargin
-    def absu(h: String) =
-      s"(CASE WHEN $h < 9223372036854775808::HUGEINT THEN $h" +
-        s" ELSE 18446744073709551616::HUGEINT - $h END)"
+    s"""${p}1 AS (SELECT *, xor(CAST($xExpr AS HUGEINT), ${mw64(s"CAST($yExpr AS HUGEINT)", C1)}) AS ${p}_h0 FROM $from),
+       |${p}2 AS (SELECT *, xor(${p}_h0, ${p}_h0 // 1073741824) AS ${p}_h1 FROM ${p}1),
+       |${p}3 AS (SELECT *, ${mw64(s"${p}_h1", C2)} AS ${p}_h2 FROM ${p}2),
+       |${p}4 AS (SELECT *, xor(${p}_h2, ${p}_h2 // 134217728) AS ${p}_h3 FROM ${p}3),
+       |${p}5 AS (SELECT *, ${mw64(s"${p}_h3", C3)} AS ${p}_h4 FROM ${p}4),
+       |${p}6 AS (SELECT *, xor(${p}_h4, ${p}_h4 // 2147483648) AS $p FROM ${p}5)""".stripMargin
+  }
+
+  /** |signed interpretation| of an unsigned-held 64-bit HUGEINT. */
+  private def absu(h: String): String =
+    s"(CASE WHEN $h < 9223372036854775808::HUGEINT THEN $h" +
+      s" ELSE 18446744073709551616::HUGEINT - $h END)"
+
+  private def calendarOracleSql(scale: Long, year: Int): String = {
     val vocabLit = graft.crawl.SyntheticWeb.vocabWords
       .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH months AS (SELECT CAST(unnest(range(1, 13)) AS INT) AS m),
@@ -1262,6 +1274,74 @@ object SparkEntry {
        |    ORDER BY sim DESC, neighbor_id) AS rk FROM scored) WHERE rk <= $k""".stripMargin
   }
 
+  /**
+   * q43/q47 oracle: per-kind span counts of the crawled/connected posts,
+   * recomputed from the content grammar — a post's content is one text
+   * run optionally split by an <img> node (text spans = 1 + hasImage,
+   * image spans = hasImage) plus an optional attachment
+   * (hasImage = |h0| % 3 == 0, hasAttach = |h0| % 4 == 0, where h0 =
+   * mix(mix(seed, hash(site_id)), 31·post_id) is the content seed —
+   * replayed via [[mixChain]]).
+   */
+  private def spanCountsOracleSql(scale: Long, limit: Long,
+      siteFilter: Seq[String] = Seq.empty): String = {
+    val filter =
+      if (siteFilter.isEmpty) ""
+      else "WHERE site_id IN (" + siteFilter.map(s => s"'$s'").mkString(", ") + ")"
+    s"""WITH ${crawlOracleCtes(scale, limit)},
+       |posts AS (SELECT site_id, idhash, post_id FROM p2 $filter),
+       |${mixChain("ma", "posts", "42", "idhash")},
+       |${mixChain("h0", "ma6", "ma", "post_id * 31")},
+       |feat AS (SELECT site_id, post_id,
+       |  CASE WHEN ${absu("h0")} % 3 = 0 THEN 1 ELSE 0 END AS img,
+       |  CASE WHEN ${absu("h0")} % 4 = 0 THEN 1 ELSE 0 END AS att
+       |  FROM h06)
+       |SELECT 'text' AS kind, CAST(sum(1 + img) AS BIGINT) AS n_spans,
+       |  CAST(count(*) AS BIGINT) AS n_docs FROM feat HAVING count(*) > 0
+       |UNION ALL
+       |SELECT 'image', CAST(sum(img) AS BIGINT), CAST(sum(img) AS BIGINT)
+       |  FROM feat HAVING sum(img) > 0
+       |UNION ALL
+       |SELECT 'attachment', CAST(sum(att) AS BIGINT), CAST(sum(att) AS BIGINT)
+       |  FROM feat HAVING sum(att) > 0""".stripMargin
+  }
+
+  /**
+   * q46 oracle: the DSv2 connector's per-site post volume and max content
+   * length, recomputed from the content grammar — token count
+   * 20 + |h0| % 60, per-token vocab picks |mix(h0, i)| % 32 (so content
+   * length = Σ word lengths + (n-1) separators + the optional <img>
+   * insert), h0 replayed via [[mixChain]].
+   */
+  private def dsv2OracleSql(scale: Long, limit: Long, sites: Seq[String]): String = {
+    val vocabVals = graft.crawl.SyntheticWeb.vocabWords.zipWithIndex
+      .map { case (w, i) => s"($i, '$w')" }.mkString(", ")
+    s"""WITH ${crawlOracleCtes(scale, limit)},
+       |vocab(vi, vw) AS (VALUES $vocabVals),
+       |posts AS (SELECT site_id, host, idhash, post_id FROM p2
+       |  WHERE site_id IN (${sites.map(s => s"'$s'").mkString(", ")})),
+       |${mixChain("ma", "posts", "42", "idhash")},
+       |${mixChain("h0", "ma6", "ma", "post_id * 31")},
+       |pf AS (SELECT site_id, host, post_id, h0,
+       |  CAST(20 + ${absu("h0")} % 60 AS INT) AS n_tokens,
+       |  CASE WHEN ${absu("h0")} % 3 = 0 THEN 1 ELSE 0 END AS img
+       |  FROM h06),
+       |wi AS (SELECT site_id, host, post_id, h0, n_tokens, img,
+       |  CAST(unnest(range(0, n_tokens)) AS INT) AS i FROM pf),
+       |${mixChain("gw", "wi", "h0", "i")},
+       |wl AS (SELECT site_id, host, post_id, n_tokens, img, length(v.vw) AS wlen
+       |  FROM gw6 JOIN vocab v ON v.vi = CAST(${absu("gw")} % 32 AS INT)),
+       |cl AS (SELECT site_id, host, post_id, any_value(n_tokens) AS n_tokens,
+       |  any_value(img) AS img, sum(wlen) AS sumlen FROM wl GROUP BY 1, 2, 3),
+       |len AS (SELECT site_id, sumlen + (n_tokens - 1) + img * (13 +
+       |    length(concat('https://', host, '/files/img_', post_id, '.jpg')))
+       |    AS content_len
+       |  FROM cl)
+       |SELECT site_id, CAST(count(*) AS BIGINT) AS n_posts,
+       |  CAST(max(content_len) AS INT) AS max_content_len
+       |FROM len GROUP BY 1""".stripMargin
+  }
+
   private def bpeOracle(rounds: Int, finalSelect: String): String = {
     val S = "e'\\x1f'"
     val sb = new StringBuilder
@@ -1348,6 +1428,32 @@ object SparkEntry {
     // the calendar pipeline (year-page synth -> parse -> replace-in-range)
     // replayed in full, mix() emulated bit-exactly in HUGEINT
     "q44_calendar" -> calendarOracleSql(scale = 100, year = 2026),
+
+    // recrawl merge events as id-set algebra: created = rev-1 window \
+    // rev-0 cache; updated = intersection ∩ {n%17==0} (rev-1 content
+    // always differs there — the ' [개정판 rev1]' suffix)
+    "q38_recrawl_events" ->
+      ("WITH " + crawlOracleCtes(scale = 100, limit = 30) + """,
+        |r0 AS (SELECT site_id, (visible - pos) + ((visible - pos) - 1) // 22 AS id
+        |  FROM (SELECT site_id, visible, unnest(range(0, wanted)) AS pos FROM s2)),
+        |r1 AS (SELECT site_id, total0 - pos AS id
+        |  FROM (SELECT site_id, total0,
+        |        unnest(range(0, least(total0, 30))) AS pos FROM s2)),
+        |created AS (SELECT count(*) AS n FROM r1 ANTI JOIN r0 USING (site_id, id)),
+        |updated AS (SELECT count(*) AS n FROM (
+        |  SELECT * FROM r1 SEMI JOIN r0 USING (site_id, id)) WHERE id % 17 = 0)
+        |SELECT 'post_created' AS event, CAST(created.n AS BIGINT) AS n FROM created
+        |UNION ALL
+        |SELECT 'post_updated', CAST(updated.n AS BIGINT) FROM updated""".stripMargin),
+
+    // span decomposition of the crawled corpus / the DSv2 connector's
+    // slice: per-kind counts from the content grammar (mix replay)
+    "q43_post_spans" -> spanCountsOracleSql(scale = 100, limit = 30),
+    "q47_dsv2_spans" -> spanCountsOracleSql(scale = 200, limit = 20,
+      siteFilter = Seq("biz.ssu.ac.kr", "scatch.ssu.ac.kr")),
+
+    "q46_dsv2_source" -> dsv2OracleSql(scale = 200, limit = 20,
+      sites = Seq("biz.ssu.ac.kr", "scatch.ssu.ac.kr", "infocom.ssu.ac.kr")),
 
     // the streaming crawl's per-site post volume = the wave-1 fan-out of
     // the same registry at (scale=60, limit=10)
