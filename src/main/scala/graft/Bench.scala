@@ -29,7 +29,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").canWrite) "/dev/shm/spark-local" else System.getProperty("java.io.tmpdir"))
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off for the BENCH session only: the crawl pins its partition
+      // counts explicitly (dedup exchange, salted write), so runtime
+      // re-planning buys nothing here and its per-stage driver work is
+      // serial Amdahl cost — measured ~2 s of the 8-core frontier run
+      // (~11%). Verify/production sessions keep AQE on.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -443,9 +443,15 @@ object Crawl {
       // across writers (Zipf rank-1 is a ~25% single-task straggler
       // without it); =0 writes straight from the fused layout
       val saltedWrite = !sys.env.get("SPARK_GRAFT_SALTED_WRITE").contains("0")
+      // finer-than-core write tasks: (host, salt) groups are few enough at
+      // fleet scale that hashing them into exactly `cores` buckets leaves
+      // visible imbalance; 2x gives the scheduler room to overlap without
+      // shrinking row groups much (A/B'd at N=2/8)
+      val writeParts = parallelism *
+        sys.env.getOrElse("SPARK_GRAFT_WRITE_PARTS", "2").toInt
       tick("stageout.write", wave) {
         (if (saltedWrite)
-          scheduled.repartition(parallelism, col("host_hash"), col("salt"))
+          scheduled.repartition(writeParts, col("host_hash"), col("salt"))
         else scheduled)
           .withColumn("wave", lit(wave))
           .withColumn("partition_id", spark_partition_id())
@@ -586,7 +592,13 @@ object Crawl {
       seenParts += seenInput.select(col("url_hash"), col("wave").as("first_wave"))
       val seenDelta = if (midCrawlFailures.isEmpty) freshCount else seenInput.count()
       seenCount += seenDelta
-      sketch.add(seenInput, seenDelta, "url_hash")(seenAll)
+      // the sketch exists to prefilter the NEXT wave's frontier — when the
+      // crawl just drained (no discovered links), folding the final wave in
+      // would be a full-scan aggregate + driver-side bitmap merge that no
+      // probe ever reads (at the 1M-scale bench this is a ~3.7M-row Bloom
+      // rebuild on the last wave, pure Amdahl overhead)
+      if (frontierCount > 0)
+        tick("sketch.add", wave)(sketch.add(seenInput, seenDelta, "url_hash")(seenAll))
       postParts += wavePosts
       lineageParts += waveLineage
 
