@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
  */
 object Bench {
 
-  private[graft] def session(cpus: Int): SparkSession = {
+  private[graft] def session(cpus: Int, aqeDefault: String = "true"): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -29,13 +29,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").canWrite) "/dev/shm/spark-local" else System.getProperty("java.io.tmpdir"))
-      // AQE off for the BENCH session only: the crawl pins its partition
-      // counts explicitly (dedup exchange, salted write), so runtime
-      // re-planning buys nothing here and its per-stage driver work is
-      // serial Amdahl cost — measured ~2 s of the 8-core frontier run
-      // (~11%). Verify/production sessions keep AQE on.
+      // AQE off for the pinned scaling WORKERS only (aqeDefault="false"
+      // from BenchWorker): the crawl pins its partition counts explicitly
+      // (dedup exchange, salted write), so runtime re-planning buys nothing
+      // there and its per-stage driver work is serial Amdahl cost —
+      // measured ~2 s of the 8-core frontier run (~11%). The query-timing
+      // session and Verify/production keep AQE on.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", aqeDefault))
+      // finer read splits: wave stage-out files are ~20-30 MB, so the
+      // 128 MB default packs the big wave's read-back into barely more
+      // tasks than cores (observed: 9 tasks on 8 cores — one full task
+      // straggles alone at the stage tail while 7 cores idle)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (32 * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -66,14 +73,29 @@ object Bench {
     (sched.getLong(0), sched.getLong(1), sn.getLong(0), sn.getLong(1))
   }
 
-  private[graft] def crawlOnce(spark: SparkSession, scale: Long, limit: Long): (Double, (Long, Long, Long, Long), Long) = {
+  private def procCpuNs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** One timed crawl. Returns (wall secs, output fingerprint, scheduled
+    * URL count, process-CPU secs over exactly the timed region). The CPU
+    * figure makes the run's achieved CPU share (cpu / (wall * cores))
+    * auditable: a pinned run whose share is depressed while the membw
+    * probes read quiet was stalled by something the probes cannot see
+    * (hypervisor steal on those cores, frequency throttling) — on the LOW
+    * side that inflates the pair's efficiency. */
+  private[graft] def crawlOnce(spark: SparkSession, scale: Long, limit: Long): (Double, (Long, Long, Long, Long), Long, Double) = {
+    val cpu0 = procCpuNs
     val t0 = System.nanoTime()
     val r = graft.crawl.Crawl.run(spark, graft.crawl.Crawl.Config(
       scale = scale, limitPerSite = limit))
     val scheduled = r.schedule.count()
     val secs = (System.nanoTime() - t0) / 1e9
+    val cpuSecs = if (cpu0 < 0) -1.0 else (procCpuNs - cpu0) / 1e9
     val fp = fingerprint(r.schedule, r.seen)
-    (secs, fp, scheduled)
+    (secs, fp, scheduled, cpuSecs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -105,6 +127,26 @@ object Bench {
         try spark1.read.parquet(s"$sfDir/documents.parquet")
           .groupBy(length(col("text")) % 7).count().count()
         catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
+        // streaming-engine warmup: one throwaway stateful micro-stream
+        // (file source -> watermark -> dedup-within-watermark) initializes
+        // the streaming runtime — state-store provider, offset/commit log
+        // machinery, streaming codegen — which otherwise lands on the FIRST
+        // streaming query's measured time; the four real streaming queries
+        // then time their operators, not engine init
+        try {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-warm-stream")
+          spark1.range(4).select(col("id"),
+            current_timestamp().as("ts")).write.parquet(s"$tmp/in")
+          val q = spark1.readStream
+            .schema(spark1.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+            .withWatermark("ts", "1 minute")
+            .dropDuplicatesWithinWatermark(Seq("id"))
+            .writeStream.format("noop")
+            .option("checkpointLocation", s"$tmp/cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] stream warmup: ${e.getMessage}") }
         val rs = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (name, _) =>
             onlyQueries.isEmpty || onlyQueries.exists(name.contains) }
@@ -204,10 +246,12 @@ object Bench {
       out.toString.split(" ")
     }
 
-    def pinnedRun(cpus: Int): (Double, (Long, Long, Long, Long), Long) = {
+    def pinnedRun(cpus: Int): (Double, (Long, Long, Long, Long), Long, Double) = {
       val p = spawnPinned(cpus, "BENCHWORKER",
         Seq(cpus.toString, benchScale.toString, benchLimit.toString))
-      (p(1).toDouble, (p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong), p(6).toLong)
+      (p(1).toDouble, (p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong), p(6).toLong,
+        // older workers print no CPU column — report unknown, not crash
+        p.lift(7).map(_.toDouble).getOrElse(-1.0))
     }
 
     // host calibration: fixed work PER THREAD, so perfect hardware gives a
@@ -220,7 +264,7 @@ object Bench {
       (p(1).toDouble, p(2).toDouble)
     }
 
-    def timedRun(cpus: Int, warm: Boolean): (Double, (Long, Long, Long, Long), Long) = {
+    def timedRun(cpus: Int, warm: Boolean): (Double, (Long, Long, Long, Long), Long, Double) = {
       if (pin) pinnedRun(cpus)
       else {
         val s = session(cpus)
@@ -236,8 +280,8 @@ object Bench {
       }
     }
 
-    val runsLow = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long, Long), Long)]
-    val runsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long, Long), Long)]
+    val runsLow = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long, Long), Long, Double)]
+    val runsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long, Long), Long, Double)]
     val burnsLow = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val burnsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
 
@@ -347,7 +391,7 @@ object Bench {
     val duringHighSamples = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
     def sampled(cpus: Int, warm: Boolean, into: scala.collection.mutable.ArrayBuffer[Double],
         intoSamples: scala.collection.mutable.ArrayBuffer[Seq[Double]])
-        : (Double, (Long, Long, Long, Long), Long) = {
+        : (Double, (Long, Long, Long, Long), Long, Double) = {
       if (!pin) {
         val r = timedRun(cpus, warm)
         into += Double.NaN; intoSamples += Seq.empty
@@ -417,6 +461,12 @@ object Bench {
             bq.put("membw_mid", math.floor(midMembw(i) * 1000) / 1000)
           if (!duringLow(i).isNaN)
             bq.put("during_low", math.floor(duringLow(i) * 1000) / 1000)
+          if (runsLow(i)._4 >= 0)
+            bq.put("cpu_share_low",
+              math.floor(runsLow(i)._4 / (runsLow(i)._1 * cpusLow) * 1000) / 1000)
+          if (runsHigh(i)._4 >= 0)
+            bq.put("cpu_share_high",
+              math.floor(runsHigh(i)._4 / (runsHigh(i)._1 * cpusHigh) * 1000) / 1000)
           bq.put("ts", java.time.Instant.now().toString)
           java.nio.file.Files.writeString(statePath, root.toPrettyString)
         }
@@ -538,8 +588,8 @@ object Bench {
       if (runsLow.isEmpty || runsHigh.isEmpty) return
       persistBaselines()
 
-      val (secsLow, fpLow, urlsLow) = runsLow.minBy(_._1)
-      val (secsHigh, fpHigh, urlsHigh) = runsHigh.minBy(_._1)
+      val (secsLow, fpLow, urlsLow, _) = runsLow.minBy(_._1)
+      val (secsHigh, fpHigh, urlsHigh, _) = runsHigh.minBy(_._1)
       val runsLowAll = runsLow.map(_._1).toSeq
       val runsHighAll = runsHigh.map(_._1).toSeq
 
@@ -624,6 +674,16 @@ object Bench {
            else "") +
           s""""runs_low_sec":${runsLowAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
           s""""runs_high_sec":${runsHighAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
+          // achieved CPU share per run (process-CPU / (wall * cores)):
+          // ~0.9+ means the worker actually received its pinned cores; a
+          // depressed LOW-side share under quiet probes flags invisible
+          // steal/throttling that would inflate that pair's efficiency
+          s""""cpu_share_low":${runsLow.map(r =>
+            if (r._4 < 0) "null" else f"${r._4 / (r._1 * cpusLow)}%.3f")
+            .mkString("[", ",", "]")},""" +
+          s""""cpu_share_high":${runsHigh.map(r =>
+            if (r._4 < 0) "null" else f"${r._4 / (r._1 * cpusHigh)}%.3f")
+            .mkString("[", ",", "]")},""" +
           f""""seen_rows":${fpHigh._4}}"""
       val json =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":$frontier}"""

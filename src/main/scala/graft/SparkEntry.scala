@@ -938,14 +938,22 @@ object SparkEntry {
     * vectors), `c0` (md5-order seed centroids), then `a1..a<iters>`
     * assignment steps interleaved with `u/c` floor-div centroid updates —
     * every value BIGINT, mirroring Similarity.kmeansClusters exactly. */
-  private def kmeansOracleCtes(dim: Int, k: Int, iters: Int): String = {
-    def assign(m: Int) =
+  /** Bit-exact integer-Lloyd replay (the q83 technique). `trainLimit > 0`
+    * bounds training to the md5-order-smallest sample (the IVF coarse
+    * quantizer's protocol): init and the training assignments read the
+    * `tr` CTE while the FINAL assignment (`a$iters`) still covers the full
+    * corpus — exactly [[graft.operators.Similarity.ivfTopK]]'s split. */
+  private def kmeansOracleCtes(dim: Int, k: Int, iters: Int,
+      trainLimit: Long = 0): String = {
+    def assign(m: Int) = {
+      val src = if (trainLimit > 0 && m < iters) "tr" else "q"
       s"""a$m AS (SELECT vec_id, c, d FROM (
          |  SELECT q.vec_id, ct.c,
          |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
          |      i -> (q.qv[i] - ct.qv[i]) * (q.qv[i] - ct.qv[i]))) AS BIGINT) AS d
-         |  FROM q CROSS JOIN c${m - 1} ct) t
+         |  FROM $src q CROSS JOIN c${m - 1} ct) t
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1)""".stripMargin
+    }
     def update(m: Int) =
       s"""u$m AS (SELECT a.c, i.i, CAST(sum(q.qv[i.i]) AS BIGINT) AS s, count(*) AS n
          |  FROM a$m a JOIN q USING (vec_id)
@@ -959,7 +967,12 @@ object SparkEntry {
     val ctes = Seq(
       s"""q AS (SELECT vec_id, list_transform(embedding,
          |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
-         |  FROM embeddings)""".stripMargin,
+         |  FROM embeddings)""".stripMargin) ++
+      (if (trainLimit > 0)
+        Seq(s"""tr AS (SELECT vec_id, qv FROM q
+                |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $trainLimit)""".stripMargin)
+       else Seq.empty) ++
+      Seq(
       s"""c0 AS (SELECT c, qv FROM (SELECT qv,
          |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
          |  FROM q) WHERE c < $k)""".stripMargin) ++
@@ -2218,6 +2231,29 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rk, round(sim, 6) AS sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id) AS rk FROM scored) WHERE rk <= 5""".stripMargin,
+
+    // IVF replayed end-to-end: integer-Lloyd coarse quantizer on the
+    // md5-order sample (the q83 technique, trainLimit = nlist*trainPerList),
+    // full-corpus bucket assignment = a3, query probe = nprobe smallest
+    // integer L2² buckets, exact-cosine rerank (the q29 technique)
+    "q48_ann_ivf" ->
+      ("WITH " + kmeansOracleCtes(dim = 64, k = 8, iters = 3, trainLimit = 2048) + """,
+        |qq AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 10),
+        |pd AS (SELECT qq.query_id, ct.c,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (qq.qv[i] - ct.qv[i]) * (qq.qv[i] - ct.qv[i]))) AS BIGINT) AS d
+        |  FROM qq CROSS JOIN c2 ct),
+        |probe AS (SELECT query_id, c FROM pd
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, c) <= 3),
+        |cand AS (SELECT p.query_id, b.vec_id AS neighbor_id
+        |  FROM probe p JOIN a3 b ON b.c = p.c AND b.vec_id <> p.query_id),
+        |scored AS (SELECT cand.query_id, cand.neighbor_id,
+        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
+        |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id, rk, round(sim, 6) AS sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rk FROM scored) WHERE rk <= 5""").stripMargin,
 
     "q68_ann_pq" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

@@ -176,52 +176,72 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val v = corpus.select(col(idCol).as("_id"),
-      col(vecCol).cast("array<double>").as("_v"))
-    // Lloyd training runs on a BOUNDED deterministic sample — the
+      col(vecCol).cast("array<double>").as("_v"),
+      GraftFunctions.quantize_vec(col(vecCol).cast("array<double>")).as("_q"))
+    // The coarse quantizer is INTEGER-EXACT (the [[kmeansClusters]]
+    // recipe): vectors micro-quantized to longs, init + sample order by
+    // engine-portable md5, argmin by integer L2² with ties to the smallest
+    // index, centroid update by floored integer mean. Every training and
+    // serving decision is therefore replayable bit-for-bit in plain SQL —
+    // q48 runs against a hard DuckDB oracle (train + bucket + probe +
+    // exact-cosine rerank, the q83 + q29 techniques composed) instead of a
+    // rows-only check. Float-mean Lloyd would be order-dependent and
+    // unverifiable by any other engine.
+    //
+    // Training runs on a BOUNDED deterministic sample — the
     // hash-order-smallest nlist*trainPerList vectors (a distributed top-k,
     // no full sort) — materialized ONCE: at a 10^10-row corpus the k-means
     // loop must not rescan (and posexplode) the full table per iteration.
     // Assignment/serving below still covers the whole corpus exactly. When
     // the corpus is smaller than the cap the sample IS the corpus, so
     // small-scale results are identical to full-corpus training.
-    val train = v.orderBy(xxhash64(col("_id")), col("_id"))
-      .limit(nlist * trainPerList).localCheckpoint()
+    val trainOrder = Seq(md5(col("_id").cast("string")), col("_id"))
+    val train = v.select(col("_id"), col("_q"))
+      .orderBy(trainOrder: _*).limit(nlist * trainPerList).localCheckpoint()
     // deterministic init: the nlist hash-smallest vectors (= the sample's
     // own hash-order prefix)
-    var centroids: Array[Seq[Double]] = train
-      .orderBy(xxhash64(col("_id")), col("_id")).limit(nlist)
-      .collect().map(_.getSeq[Double](1))
+    var centroids: Array[Seq[Long]] = train
+      .orderBy(trainOrder: _*).limit(nlist)
+      .collect().map(_.getSeq[Long](1))
     // The centroid matrix rides as DATA (a broadcast single-row table),
     // never as expression-tree literals: plan/codegen size is O(1) in
     // nlist, so production nlist (thousands) neither blows up the driver
     // nor re-plans a giant expression every Lloyd iteration. The join is a
     // 1-row broadcast (every task gets the matrix once); all per-row work
     // stays in array expressions over the joined column.
-    def withSims(df: DataFrame, vec: Column): DataFrame =
-      df.crossJoin(broadcast(Seq(Tuple1(centroids.toSeq)).toDF("_cents")))
-        .withColumn("_sims", transform(col("_cents"),
-          c => GraftFunctions.cosine_sim(vec, c)))
+    def withBucket(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(Seq(Tuple1(centroids.map(_.toSeq).toSeq)).toDF("_cents")))
+        .withColumn("_dists", transform(col("_cents"),
+          c => GraftFunctions.l2sq_q(col("_q"), c)))
+        .withColumn("_bucket",
+          (array_position(col("_dists"), array_min(col("_dists"))) - 1).cast("int"))
         .drop("_cents")
-    // argmax (first max wins — deterministic)
-    def bucketOf: Column = (array_position(col("_sims"), array_max(col("_sims"))) - 1).cast("int")
-    // Lloyd iterations: assign -> per-dimension mean -> rebuild centroids
-    (0 until iters).foreach { _ =>
-      val assigned = withSims(train, col("_v"))
-        .select(bucketOf.as("_c"), posexplode(col("_v")).as(Seq("_pos", "_x")))
-      val means = assigned.groupBy("_c", "_pos").agg(avg(col("_x")).as("_m"))
-        .groupBy("_c").agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_s"))
-        .select(col("_c"), transform(col("_s"), e => e.getField("_m")).as("_centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    // Lloyd: iters assignment passes, iters-1 floored-integer-mean updates
+    // (per-(cluster, dim) grain — nlist*dim longs to the driver, the
+    // corpus never shuffles)
+    (1 until iters).foreach { _ =>
+      val rows = withBucket(train)
+        .select(col("_bucket").as("_c"), posexplode(col("_q")).as(Seq("_pos", "_x")))
+        .groupBy("_c", "_pos")
+        .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+        .withColumn("_m", expr("(_s - ((_s % _n + _n) % _n)) div _n"))
+        .select(col("_c"), col("_pos"), col("_m"))
+        .collect()
+      val byC = rows.groupBy(_.getInt(0)).map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+      centroids = centroids.indices.map(i => byC.getOrElse(i, centroids(i))).toArray
     }
-    val bucketed = withSims(v, col("_v"))
-      .select(col("_id").as("neighbor_id"), col("_v").as("_cv"), bucketOf.as("_bucket"))
-    // each query probes its nprobe nearest buckets
+    val bucketed = withBucket(v)
+      .select(col("_id").as("neighbor_id"), col("_v").as("_cv"), col("_bucket"))
+    // each query probes its nprobe nearest buckets (smallest integer L2²,
+    // ties to the smaller bucket index)
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("_qv"))
-    val probed = withSims(q, col("_qv"))
-      .withColumn("_order", array_sort(transform(col("_sims"),
-        (s, i) => struct((-s).as("s"), i.as("c")))))
+      col(vecCol).cast("array<double>").as("_qv"),
+      GraftFunctions.quantize_vec(col(vecCol).cast("array<double>")).as("_q"))
+    val probed = withBucket(q)
+      .withColumn("_order", array_sort(transform(col("_dists"),
+        (d, i) => struct(d.as("d"), i.as("c")))))
       .select(col("query_id"), col("_qv"),
         explode(slice(transform(col("_order"), e => e.getField("c")), 1, nprobe))
           .as("_bucket"))
