@@ -1355,6 +1355,133 @@ object SparkEntry {
        |FROM len GROUP BY 1""".stripMargin
   }
 
+  /**
+   * q37 oracle: the daemon's per-site feed byte sizes recomputed end to
+   * end in DuckDB — posts replayed from the content grammar (mixChain),
+   * then the RSS 2.0 channel (Sinks.Rss.channelXml/itemXml field order,
+   * XML escaping, CDATA framing) and the serde-pretty per-site JSON
+   * (SiteJson.pretty 2-space layout, SsufidPost declaration field order,
+   * None as null, RFC3339 timestamps) rebuilt as literal strings and
+   * measured with length(). Every byte of both serializers is replayed:
+   * a one-character drift in either sink fails the hash.
+   */
+  private def feedsOracleSql(scale: Long, limit: Long): String = {
+    val vocabVals = graft.crawl.SyntheticWeb.vocabWords.zipWithIndex
+      .map { case (w, i) => s"($i, '$w')" }.mkString(", ")
+    // XML escaping exactly as Rss.esc: & first, then < and >
+    def xesc(e: String): String =
+      s"replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    val nl = "chr(10)"
+    // raw post URL (SyntheticWeb.postUrl — NOT the canonical form: the two
+    // offset sites whose base params sort after idx keep raw append order)
+    val rawUrl =
+      """CASE family
+        |  WHEN 'gnuboard' THEN concat(base_url, '&wr_id=', post_id)
+        |  WHEN 'wordpress' THEN concat(base_url, '/?slug=post-', post_id)
+        |  WHEN 'ssucatch' THEN concat(base_url, sep, 'slug=notice-', post_id)
+        |  WHEN 'offset' THEN concat(base_url, sep, 'idx=', post_id)
+        |  WHEN 'cursor' THEN concat(base_url, '/view?no=', post_id)
+        |  WHEN 'api' THEN concat(base_url, '/api/post?id=', post_id)
+        |  WHEN 'lz' THEN concat(replace(base_url, 'notice_list.do', 'notice_view.do'),
+        |    sep, 'sbSeq=', to_base64(CAST(CAST(post_id AS VARCHAR) AS BLOB)))
+        |  WHEN 'auth' THEN concat(base_url, sep, 'encSddpbSeq=enc', post_id)
+        |  WHEN 'calendar' THEN concat(base_url, sep, 'event=', post_id)
+        |END""".stripMargin
+    val itemXml =
+      "'<item>' || '<title>' || " + xesc("title") + " || '</title>'" +
+        " || '<link>' || " + xesc("url") + " || '</link>'" +
+        " || '<pubDate>' || strftime(created, '%a, %d %b %Y %H:%M:%S +0000') || '</pubDate>'" +
+        " || '<guid isPermaLink=\"false\">' || post_id || '</guid>'" +
+        " || '<description>' || " + xesc("descr") + " || '</description>'" +
+        " || '<content:encoded><![CDATA[' || content || ']]></content:encoded>'" +
+        " || CASE WHEN author IS NULL THEN '' ELSE '<author>' || author || '</author>' END" +
+        " || CASE WHEN has_cat THEN '<category>공지</category>' ELSE '' END" +
+        " || CASE WHEN img THEN '<enclosure url=\"' || " + xesc("img_ref") +
+        " || '\" length=\"0\" type=\"image/jpeg\"/>' ELSE '' END" +
+        " || '</item>'"
+    // serde_json::to_string_pretty item block at 4-space array indent
+    // (SiteJson.pretty + serdeShapedItem): every field, None -> null,
+    // Jackson-escaped content (the <img src="..."> quotes become \")
+    val itemJson = Seq(
+      s"'    {' || $nl",
+      s"'      \"id\": \"' || post_id || '\",' || $nl",
+      s"'      \"url\": \"' || url || '\",' || $nl",
+      s"'      \"author\": ' || CASE WHEN author IS NULL THEN 'null' ELSE '\"' || author || '\"' END || ',' || $nl",
+      s"'      \"title\": \"' || title || '\",' || $nl",
+      s"'      \"description\": null,' || $nl",
+      s"'      \"category\": ' || CASE WHEN has_cat THEN '[' || $nl || '        \"공지\"' || $nl || '      ]' ELSE '[]' END || ',' || $nl",
+      s"'      \"created_at\": \"' || strftime(created, '%Y-%m-%dT%H:%M:%SZ') || '\",' || $nl",
+      s"'      \"updated_at\": null,' || $nl",
+      s"'      \"thumbnail\": ' || CASE WHEN img THEN '\"' || img_ref || '\"' ELSE 'null' END || ',' || $nl",
+      s"'      \"content\": \"' || replace(content, '\"', '\\\"') || '\",' || $nl",
+      s"'      \"attachments\": ' || CASE WHEN att THEN '[' || $nl || '        {' || $nl || " +
+        s"'          \"url\": \"' || att_ref || '\",' || $nl || " +
+        s"'          \"name\": \"doc_' || post_id || '.hwp\",' || $nl || " +
+        s"'          \"mime_type\": \"application/x-hwp\"' || $nl || '        }' || $nl || '      ]' ELSE '[]' END || ',' || $nl",
+      s"'      \"metadata\": null' || $nl",
+      "'    }'").mkString(" || ")
+    s"""WITH ${crawlOracleCtes(scale, limit)},
+       |vocab(vi, vw) AS (VALUES $vocabVals),
+       |posts AS (SELECT p2.site_id, p2.host, p2.family, p2.base_url, p2.idhash,
+       |    p2.post_id, s.zipf_rank,
+       |    CASE WHEN contains(p2.base_url, '?') THEN '&' ELSE '?' END AS sep
+       |  FROM p2 JOIN sites s USING (site_id)),
+       |${mixChain("ma", "posts", "42", "idhash")},
+       |${mixChain("h0", "ma6", "ma", "post_id * 31")},
+       |pf AS (SELECT site_id, host, family, base_url, sep, post_id, zipf_rank, h0,
+       |  CAST(20 + ${absu("h0")} % 60 AS INT) AS n_tokens,
+       |  (${absu("h0")} % 3 = 0) AS img, (${absu("h0")} % 4 = 0) AS att,
+       |  (${absu("h0")} % 5 <> 0) AS has_author,
+       |  CAST(${absu("h0")} % 50 AS BIGINT) AS author_k
+       |  FROM h06),
+       |wi AS (SELECT site_id, post_id, h0, n_tokens,
+       |  CAST(unnest(range(0, n_tokens)) AS INT) AS i FROM pf),
+       |${mixChain("gw", "wi", "h0", "i")},
+       |words AS (SELECT site_id, post_id, n_tokens, i, v.vw AS w
+       |  FROM gw6 JOIN vocab v ON v.vi = CAST(${absu("gw")} % 32 AS INT)),
+       |agg AS (SELECT site_id, post_id,
+       |  string_agg(w, ' ' ORDER BY i) FILTER (WHERE i < n_tokens // 2) AS part1,
+       |  string_agg(w, ' ' ORDER BY i) FILTER (WHERE i >= n_tokens // 2) AS part2,
+       |  min(w) FILTER (WHERE i = 0) AS w0, min(w) FILTER (WHERE i = 1) AS w1
+       |  FROM words GROUP BY 1, 2),
+       |fields AS (SELECT pf.*, agg.w0, agg.w1,
+       |  'https://' || host || '/files/img_' || post_id || '.jpg' AS img_ref,
+       |  'https://' || host || '/files/doc_' || post_id || '.hwp' AS att_ref,
+       |  agg.part1 || CASE WHEN img
+       |    THEN ' <img src="https://' || host || '/files/img_' || post_id || '.jpg">'
+       |    ELSE '' END || ' ' || agg.part2 AS content,
+       |  '[' || site_id || '] ' || agg.w0 || ' ' || agg.w1 || ' #' || post_id AS title,
+       |  $rawUrl AS url,
+       |  TIMESTAMP '2026-01-01 00:00:00'
+       |    + to_seconds(post_id * 60 + zipf_rank) AS created,
+       |  CASE WHEN has_author THEN concat('작성자', author_k) END AS author,
+       |  (post_id % 9 = 0) AS has_cat
+       |  FROM pf JOIN agg USING (site_id, post_id)),
+       |fd AS (SELECT *, CASE WHEN length(content) <= 50 THEN content
+       |    ELSE substr(content, 1, 50) || '...' END AS descr FROM fields),
+       |item AS (SELECT site_id, post_id, $itemXml AS item_xml,
+       |  $itemJson AS item_json FROM fd),
+       |rss AS (SELECT site_id, length(
+       |    '<?xml version="1.0" encoding="utf-8"?><rss version="2.0"' ||
+       |    ' xmlns:atom="http://www.w3.org/2005/Atom"' ||
+       |    ' xmlns:content="http://purl.org/rss/1.0/modules/content/"><channel>' ||
+       |    '<title>' || site_id || '</title>' ||
+       |    '<link>https://' || site_id || '</link>' ||
+       |    '<description>' || site_id || ' notices</description>' ||
+       |    string_agg(item_xml, '' ORDER BY post_id DESC) ||
+       |    '</channel></rss>') AS rss_len FROM item GROUP BY 1),
+       |js AS (SELECT site_id, length(
+       |    '{' || $nl || '  "title": "' || site_id || '",' || $nl ||
+       |    '  "source": "https://' || site_id || '",' || $nl ||
+       |    '  "description": "' || site_id || ' notices",' || $nl ||
+       |    '  "items": [' || $nl ||
+       |    string_agg(item_json, ',' || $nl ORDER BY post_id DESC) ||
+       |    $nl || '  ]' || $nl || '}') AS json_len FROM item GROUP BY 1)
+       |SELECT rss.site_id, CAST(rss.rss_len AS INT) AS rss_bytes,
+       |  CAST(js.json_len AS INT) AS json_bytes
+       |FROM rss JOIN js USING (site_id)""".stripMargin
+  }
+
   private def bpeOracle(rounds: Int, finalSelect: String): String = {
     val S = "e'\\x1f'"
     val sb = new StringBuilder
@@ -1441,6 +1568,10 @@ object SparkEntry {
     // the calendar pipeline (year-page synth -> parse -> replace-in-range)
     // replayed in full, mix() emulated bit-exactly in HUGEINT
     "q44_calendar" -> calendarOracleSql(scale = 100, year = 2026),
+
+    // the daemon's feed sinks replayed byte-for-byte (RSS channel + serde
+    // -pretty site JSON string-built in SQL, lengths compared)
+    "q37_pipeline_feeds" -> feedsOracleSql(scale = 100, limit = 30),
 
     // recrawl merge events as id-set algebra: created = rev-1 window \
     // rev-0 cache; updated = intersection ∩ {n%17==0} (rev-1 content
