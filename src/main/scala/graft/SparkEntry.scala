@@ -404,18 +404,17 @@ object SparkEntry {
         max(col("deduped")).as("deduped"), sum(col("fetched")).as("fetched"))),
 
     "q37_pipeline_feeds" -> { (s, _) =>
-      val out = graft.crawl.Pipeline.runDaemon(s, crawlCfg,
-        graft.crawl.Pipeline.emptyCache(s), mergeNow, topK = 30)
+      val out = cachedDaemonRun0(s)
       out.rss.select(col("site_id"), length(col("rss_xml")).as("rss_bytes"))
         .join(out.siteJson.select(col("site_id"), length(col("site_json")).as("json_bytes")),
           Seq("site_id"))
     },
 
     "q38_recrawl_events" -> { (s, _) =>
-      val run0 = graft.crawl.Pipeline.runDaemon(s, crawlCfg,
-        graft.crawl.Pipeline.emptyCache(s), mergeNow, topK = 30)
-      val run1 = graft.crawl.Pipeline.runDaemon(s, crawlCfg.copy(rev = 1),
-        run0.cache, Timestamp.valueOf("2026-01-16 00:00:00"), topK = 30)
+      val cfg1 = crawlCfg.copy(rev = 1)
+      val run1 = graft.crawl.Pipeline.runDaemon(s, cfg1,
+        cachedDaemonRun0(s).cache, Timestamp.valueOf("2026-01-16 00:00:00"),
+        topK = 30, precomputedCrawl = Some(cachedCrawl(s, cfg1)))
       run1.events.groupBy("event").agg(count(lit(1)).as("n"))
     },
 
@@ -923,6 +922,20 @@ object SparkEntry {
   private def cachedCrawl(s: SparkSession,
       cfg: graft.crawl.Crawl.Config): graft.crawl.Crawl.Result =
     crawlMemo.computeIfAbsent((s, cfg), _ => graft.crawl.Crawl.run(s, cfg))
+
+  /** q37 and q38 both need the SAME rev-0 daemon run (crawl -> merge ->
+    * feeds over the empty cache): share one, fed by the memoized crawl
+    * stage; the merged cache is checkpointed once (it's ~500 rows) so the
+    * recrawl query doesn't recompute the rev-0 merge. */
+  private val daemonMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, graft.crawl.Pipeline.Output]()
+  private def cachedDaemonRun0(s: SparkSession): graft.crawl.Pipeline.Output =
+    daemonMemo.computeIfAbsent(s, _ => {
+      val out = graft.crawl.Pipeline.runDaemon(s, crawlCfg,
+        graft.crawl.Pipeline.emptyCache(s), mergeNow, topK = 30,
+        precomputedCrawl = Some(cachedCrawl(s, crawlCfg)))
+      out.copy(cache = out.cache.localCheckpoint(eager = false))
+    })
 
   /**
    * BPE oracle generator: unrolls `rounds` merge iterations as a DuckDB

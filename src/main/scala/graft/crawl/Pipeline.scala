@@ -31,9 +31,13 @@ object Pipeline {
       cfg: Crawl.Config,
       cache: DataFrame,
       now: Timestamp,
-      topK: Int = 100): Output = {
+      topK: Int = 100,
+      precomputedCrawl: Option[Crawl.Result] = None): Output = {
 
-    val crawl = Crawl.run(spark, cfg)
+    // a caller that already ran (and staged) this config's crawl passes it
+    // in — the daemon derives merge + feeds from the staged waves instead
+    // of re-crawling (the production shape: one crawl, many consumers)
+    val crawl = precomputedCrawl.getOrElse(Crawl.run(spark, cfg))
 
     // arrival order of the new batch = crawl order (page, row) — join the
     // schedule (keyed by canonical url hash) to recover it
