@@ -37,6 +37,13 @@ object Bench {
       // session and Verify/production keep AQE on.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", aqeDefault))
+      // shuffle blocks live on tmpfs (spark.local.dir=/dev/shm): lz4 on a
+      // RAM->RAM copy is pure CPU, and that CPU scales with concurrent
+      // writers — a direct hit on the N->4N ratio (A/B'd pinned at 2/8)
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       // finer read splits: wave stage-out files are ~20-30 MB, so the
       // 128 MB default packs the big wave's read-back into barely more
       // tasks than cores (observed: 9 tasks on 8 cores — one full task
@@ -353,7 +360,17 @@ object Bench {
     // more pairs, never admits an inflated one; the file updates only
     // when a run observes a new minimum (honest calibration data, no
     // favorable selection).
-    val stateKey = s"$benchScale:$cpusLow:$cpusHigh"
+    // The key carries a WORKLOAD VERSION: the during-run sampler reads
+    // crawl+host bus traffic together, so the quiet floor is only valid for
+    // the exact workload that minted it. Round-4 lesson: after the crawl
+    // got ~1.8x faster its own bus traffic rose, every during-low sample
+    // (0.028-0.029) read above the stale floor (0.023) x band, and all
+    // in-run pairs were rejected as non-quiet despite quiet probes. A crawl
+    // or stage-out encoding change bumps the version and starts a fresh
+    // calibration instead of judging the new workload against the old
+    // one's floor.
+    val workloadVersion = "w5"
+    val stateKey = s"$benchScale:$cpusLow:$cpusHigh:$workloadVersion"
     val statePath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STATE", "tools/bench_baselines.json"))
     def loadStateRoot(): com.fasterxml.jackson.databind.node.ObjectNode =
@@ -569,7 +586,10 @@ object Bench {
     // conservative one-pair wall cost (probe + low run + settles + high run
     // + post probe) — used only to reserve forced-minimum time at the tail
     // of the wall budget, never to judge the crawl
-    val estPairSec = 150L
+    // scale-aware: the reserve must cover a real pair at the configured
+    // crawl scale or the forced minimum fires too late and the artifact
+    // ends with fewer than minPairs pairs
+    val estPairSec = math.max(150L, 120L * benchScale / 1000000L + 60L)
     var skipped = 0
     // the hunt stops on gate-ELIGIBLE pairs (low side quiet)
     def quietCount: Int = pairLowQuiet.count(identity)

@@ -461,6 +461,13 @@ object Crawl {
           // snappy vs none within host noise — keep the parquet default,
           // expose the knob for cluster-specific tuning
           .option("compression", sys.env.getOrElse("SPARK_GRAFT_WAVE_CODEC", "snappy"))
+          // dictionary encoding buys little on high-cardinality URL strings
+          // (every value unique) and its per-writer hash state is pure LLC
+          // pressure when many writers run concurrently — off by default
+          // for the transient wave files; the persisted snapshot/cache
+          // parquet keeps the parquet defaults
+          .option("parquet.enable.dictionary",
+            sys.env.getOrElse("SPARK_GRAFT_WAVE_DICT", "false"))
           .parquet(wavePath)
       }
       val staged = spark.read.parquet(wavePath)

@@ -341,14 +341,24 @@ class DedupSimilaritySpec extends SparkSuite {
       ((System.nanoTime() - t0) / 1e9, pairs)
     }
     timeIt(2000) // codegen warmup
-    val (t50, p50) = timeIt(50000)
-    val (t100, p100) = timeIt(100000)
-    // planted pairs are found, and doubling the corpus roughly doubles them
-    assert(p50 >= 200 && p100 >= 2 * p50 - 50, s"pairs $p50 -> $p100")
+    // the wall-clock ratio is a HOST measurement on a noisy VM: a co-tenant
+    // burst landing on exactly one of the two timed runs fails the bound
+    // with a perfectly linear plan (observed once in a full-suite run under
+    // heavy external contention). Retry the whole measurement a bounded
+    // number of times; a genuinely quadratic candidate stage fails every
+    // attempt, noise does not.
+    val attempts = (1 to 3).iterator.map { _ =>
+      val (t50, p50) = timeIt(50000)
+      val (t100, p100) = timeIt(100000)
+      // planted pairs are found, and doubling the corpus roughly doubles them
+      assert(p50 >= 200 && p100 >= 2 * p50 - 50, s"pairs $p50 -> $p100")
+      (t50, t100)
+    }
     // near-linear runtime: 2x docs must stay well under the 4x a quadratic
     // candidate stage would cost (generous 3x bound for shuffle constants
     // + VM noise)
-    assert(t100 <= t50 * 3.0 + 5.0, f"minhash LSH scaled $t50%.1fs -> $t100%.1fs")
+    val ok = attempts.find { case (t50, t100) => t100 <= t50 * 3.0 + 5.0 }
+    assert(ok.isDefined, "minhash LSH scaled super-linearly on 3/3 attempts")
   }
 
   test("span explode/reassemble round-trips every document (span-sequence invariant)") {
