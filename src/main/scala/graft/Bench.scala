@@ -47,9 +47,11 @@ object Bench {
       // finer read splits: wave stage-out files are ~20-30 MB, so the
       // 128 MB default packs the big wave's read-back into barely more
       // tasks than cores (observed: 9 tasks on 8 cores — one full task
-      // straggles alone at the stage tail while 7 cores idle)
+      // straggles alone at the stage tail while 7 cores idle); 16 MB
+      // (quiet-window A/B at 2/8 pinned cores) shaves the partial-wave
+      // tail further without measurable per-task overhead
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (32 * 1024 * 1024).toString))
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (16 * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -200,16 +202,23 @@ object Bench {
     // criterion rejected a 0.944-efficiency pair because the POST probe
     // landed on noise that could only have slowed the high side.
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPEATS", "7").toInt
-    // Quiet band at 0.9, not 0.8: a SUSTAINED co-tenant load parks the
-    // membw ceiling just inside a 0.8 band and the crawl then honestly
-    // tracks that depressed ceiling (observed: probes at 0.81 bracketing a
-    // 0.62 pair with flat during-samples) — that is evidence about the
-    // HOST, not the engine. Only near-1.0-ceiling pairs feed
-    // best_quiet_pair_eff; a pair whose pre-probe stays noisy past its nap
-    // budget is SKIPPED outright (see the hunt loop below), except for the
-    // forced minimum that guarantees raw-throughput + identical-output
-    // evidence in every artifact.
+    // Probe quietness is ABSOLUTE, not a low/high ratio. Round-5 finding
+    // (deep-quiet fixed-work membw burns: 1t 0.173s, 2t 0.205s, 4t 0.226s,
+    // 8t 0.314s, 16t 0.447s): this VM's memory system gives 8 threads only
+    // ~0.65 of 2 threads' per-thread bandwidth EVEN ON AN IDLE HOST, so a
+    // ratio band like [0.9, 1.11] rejects precisely the cleanest windows
+    // and admits the semi-loaded ones where co-tenant traffic slows the
+    // 2-thread burn toward the 8-thread one and compresses the ratio to
+    // ~1.0. Quiet is therefore judged per LEVEL against persisted absolute
+    // floors (ratcheting minima, exactly like the during-sampler floors);
+    // the ratio band survives only as the bootstrap fallback while a fresh
+    // workload key has no floors yet. The measured curve is emitted in the
+    // artifact (hardware_membw_curve) so the raw pair efficiency can be
+    // read against the ceiling the host could express at that moment —
+    // N->4N SEPARATE executors keep per-executor bandwidth constant, which
+    // is what the ceiling-normalized estimator models.
     val quietThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_MEMBW", "0.9").toDouble
+    val probeBand = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_BAND", "1.2").toDouble
 
     // Each measurement runs in a FRESH JVM pinned to its core budget
     // (taskset + ActiveProcessorCount): `local[N]` in-process still runs
@@ -240,6 +249,10 @@ object Bench {
         // depressed-pair / noisy-post signatures). Half the heap, half the
         // teardown.
         s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "16g")}",
+        // throughput collector for the batch-shaped workers: G1's
+        // concurrent refinement burns CPU that scales with core count
+        // (quiet-window A/B: -6 cpu-s / -0.5s wall at 8 cores, flat at 2)
+        "-XX:+UseParallelGC",
         s"-XX:ActiveProcessorCount=$cpus",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"),
@@ -286,6 +299,17 @@ object Bench {
         } finally s.stop()
       }
     }
+
+    // One-off hardware calibration CURVE (fixed work per thread at 1..16
+    // threads): the ceiling context every raw pair ratio is read against.
+    // ~20 s once per artifact; measured before any pair so it cannot be
+    // tuned to a favorable moment mid-hunt.
+    val membwCurve: Seq[(Int, Double)] =
+      if (!pin) Seq.empty
+      else Seq(1, 2, 4, 8, 16).map(n => n -> burnRun(n)._2)
+    if (membwCurve.nonEmpty)
+      System.err.println("[bench] hardware membw curve (fixed work/thread): " +
+        membwCurve.map { case (n, s) => f"${n}t=$s%.3f" }.mkString(" "))
 
     val runsLow = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long, Long), Long, Double)]
     val runsHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long, Long), Long, Double)]
@@ -386,16 +410,36 @@ object Bench {
         case o: com.fasterxml.jackson.databind.node.ObjectNode => o
         case _ => root.putObject(stateKey)
       }
-    val (histDurLow, histDurHigh) = {
+    val (histDurLow, histDurHigh, histMbLow, histMbHigh) = {
       val node = loadStateRoot().get(stateKey)
-      if (node == null) (Double.NaN, Double.NaN)
+      if (node == null) (Double.NaN, Double.NaN, Double.NaN, Double.NaN)
       else (node.path("dur_low").asDouble(Double.NaN),
-        node.path("dur_high").asDouble(Double.NaN))
+        node.path("dur_high").asDouble(Double.NaN),
+        node.path("mb_low").asDouble(Double.NaN),
+        node.path("mb_high").asDouble(Double.NaN))
     }
     def withHist(runMin: Double, hist: Double): Double =
       if (hist.isNaN) runMin
       else if (runMin.isNaN) hist
       else math.min(runMin, hist)
+    // EVERY membw probe observation this run (accepted, napped, skipped) —
+    // the absolute floors ratchet from the full observation stream, not
+    // just from probes that led to pairs
+    val probesLowAll = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probesHighAll = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def mbFloorLow: Double = withHist(
+      if (probesLowAll.isEmpty) Double.NaN else probesLowAll.min, histMbLow)
+    def mbFloorHigh: Double = withHist(
+      if (probesHighAll.isEmpty) Double.NaN else probesHighAll.min, histMbHigh)
+    /** Absolute per-level probe quietness; ratio-band bootstrap while the
+      * fresh workload key has no floor and this run has seen no better. */
+    def probeQuiet(mbLow: Double, mbHigh: Double): Boolean = {
+      val (fl, fh) = (mbFloorLow, mbFloorHigh)
+      if (fl.isNaN || fh.isNaN) {
+        val r = mbLow / mbHigh
+        r >= quietThreshold && r <= 1.0 / quietThreshold
+      } else mbLow <= fl * probeBand && mbHigh <= fh * probeBand
+    }
     val pairQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val pairLowQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val duringLow = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -430,13 +474,19 @@ object Bench {
       val okH = duringHigh.filterNot(_.isNaN)
       if (ok.isEmpty || okH.isEmpty) return
       val (nl, nh) = (withHist(ok.min, histDurLow), withHist(okH.min, histDurHigh))
+      val (ml, mh) = (mbFloorLow, mbFloorHigh)
       if (nl < histDurLow - 1e-9 || nh < histDurHigh - 1e-9 ||
-          histDurLow.isNaN || histDurHigh.isNaN) {
+          histDurLow.isNaN || histDurHigh.isNaN ||
+          ml < histMbLow - 1e-9 || mh < histMbHigh - 1e-9 ||
+          (histMbLow.isNaN && !ml.isNaN) || (histMbHigh.isNaN && !mh.isNaN)) {
         try {
           val root = loadStateRoot()
           val entry = stateEntry(root)
           entry.put("dur_low", math.floor(nl * 1000) / 1000)
           entry.put("dur_high", math.floor(nh * 1000) / 1000)
+          // absolute probe-burn floors (same ratchet-down-only semantics)
+          if (!ml.isNaN) entry.put("mb_low", math.floor(ml * 1000) / 1000)
+          if (!mh.isNaN) entry.put("mb_high", math.floor(mh * 1000) / 1000)
           java.nio.file.Files.writeString(statePath, root.toPrettyString)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] baseline persist: ${e.getMessage}") }
@@ -471,6 +521,9 @@ object Bench {
         if (prev.isNaN || pairEff(i) > prev + 1e-9) {
           val bq = entry.putObject("best_quiet")
           bq.put("eff", math.floor(pairEff(i) * 1000) / 1000)
+          if (i < pairMembw.size && pairMembw(i) > 0)
+            bq.put("eff_normalized",
+              math.floor(pairEff(i) / pairMembw(i) * 1000) / 1000)
           bq.put("secs_low", math.floor(runsLow(i)._1 * 100) / 100)
           bq.put("secs_high", math.floor(runsHigh(i)._1 * 100) / 100)
           bq.put("membw_pre", math.floor(pairMembw(i) * 1000) / 1000)
@@ -570,6 +623,13 @@ object Bench {
     def elapsedSec: Long = (System.nanoTime() - phaseStart) / 1000000000L
     val postMembw = scala.collection.mutable.ArrayBuffer.empty[Double]
     def inBand(r: Double): Boolean = r >= quietThreshold && r <= 1.0 / quietThreshold
+    // burns feed the absolute floor stream (probesLow/HighAll) so every
+    // observation — accepted, napped past, or skipped — ratchets the floor
+    def burnLow(): (Double, Double) = { val b = burnRun(cpusLow); probesLowAll += b._2; b }
+    def burnHigh(): (Double, Double) = { val b = burnRun(cpusHigh); probesHighAll += b._2; b }
+    def fmtQuiet(mbl: Double, mbh: Double): String =
+      f"low $mbl%.3f vs floor ${mbFloorLow}%.3f*$probeBand%.2f, " +
+        f"high $mbh%.3f vs floor ${mbFloorHigh}%.3f*$probeBand%.2f"
     // a post-pair probe doubles as the next pair's pre-probe when it was
     // quiet (re-burned after any nap)
     var carriedProbe: Option[((Double, Double), (Double, Double))] = None
@@ -643,6 +703,13 @@ object Bench {
       val bestQuiet = if (eligiblePairs.nonEmpty) Some(eligiblePairs.max) else None
       val bracketedPairs = pairEff.zip(pairQuiet.toSeq).filter(_._2).map(_._1)
       val bestBracketed = if (bracketedPairs.nonEmpty) Some(bracketedPairs.max) else None
+      // ceiling-normalized twin of best_quiet_pair_eff: each eligible
+      // pair's raw ratio divided by its own same-moment membw ceiling —
+      // the cluster-faithful estimator (separate executors keep per-node
+      // bandwidth constant; one shared socket does not, see
+      // hardware_membw_curve)
+      val eligibleNorm = pairNorm.zip(pairLowQuiet.toSeq).filter(_._2).map(_._1)
+      val bestQuietNorm = if (eligibleNorm.nonEmpty) Some(eligibleNorm.max) else None
       if (pairMembw.nonEmpty) persistBestQuiet(pairEff, pairMembw)
 
       val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -688,8 +755,16 @@ object Bench {
               s""""during_floor_high":${if (histDurHigh.isNaN) "null" else f"$histDurHigh%.3f"},""" +
               bestQuiet.map(q => f""""best_quiet_pair_eff":$q%.3f,""").getOrElse(
                 s""""best_quiet_pair_eff":null,""") +
+              bestQuietNorm.map(q => f""""best_quiet_pair_eff_normalized":$q%.3f,""").getOrElse(
+                s""""best_quiet_pair_eff_normalized":null,""") +
               bestBracketed.map(q => f""""best_bracketed_pair_eff":$q%.3f,""").getOrElse(
                 s""""best_bracketed_pair_eff":null,""") +
+              s""""membw_floor_low":${if (mbFloorLow.isNaN) "null" else f"$mbFloorLow%.3f"},""" +
+              s""""membw_floor_high":${if (mbFloorHigh.isNaN) "null" else f"$mbFloorHigh%.3f"},""" +
+              (if (membwCurve.nonEmpty)
+                s""""hardware_membw_curve":{${membwCurve.map { case (n, s) =>
+                  f""""$n":$s%.3f""" }.mkString(",")}},"""
+               else "") +
               s""""campaign_best_quiet":${campaignBestQuietJson()},"""
            else "") +
           s""""runs_low_sec":${runsLowAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
@@ -727,21 +802,20 @@ object Bench {
       var preQuiet = true
       var runPair = true
       if (pin) {
-        var (bl, bh) = carriedProbe.getOrElse((burnRun(cpusLow), burnRun(cpusHigh)))
+        var (bl, bh) = carriedProbe.getOrElse((burnLow(), burnHigh()))
         carriedProbe = None
         var waitLeft = quietWaitPerPair // per ATTEMPT, not shared across rounds
-        // the probe naps on BOTH noise directions (see quietPairs below)
-        while (waitLeft > 0 && !inBand(bl._2 / bh._2) && !mustForce(round)) {
+        // the probe naps while EITHER level reads above its absolute floor
+        while (waitLeft > 0 && !probeQuiet(bl._2, bh._2) && !mustForce(round)) {
           val nap = math.min(30, waitLeft)
-          System.err.println(f"[bench] host noisy (membw ${bl._2 / bh._2}%.2f outside " +
-            f"[$quietThreshold%.2f, ${1.0 / quietThreshold}%.2f]), napping ${nap}s " +
-            s"(${waitLeft}s attempt budget left)")
+          System.err.println(s"[bench] host noisy (${fmtQuiet(bl._2, bh._2)}), " +
+            s"napping ${nap}s (${waitLeft}s attempt budget left)")
           Thread.sleep(nap * 1000L)
           waitLeft -= nap
-          bl = burnRun(cpusLow)
-          bh = burnRun(cpusHigh)
+          bl = burnLow()
+          bh = burnHigh()
         }
-        preQuiet = inBand(bl._2 / bh._2)
+        preQuiet = probeQuiet(bl._2, bh._2)
         if (!preQuiet && !mustForce(round)) {
           // SKIP the pair outright: the attempt stayed noisy through its
           // nap budget and the forced-minimum reserve is not yet due. The
@@ -767,7 +841,7 @@ object Bench {
       var midQuiet = true
       if (pin) {
         Thread.sleep(8000L)
-        var ml = burnRun(cpusLow); var mh = burnRun(cpusHigh)
+        var ml = burnLow(); var mh = burnHigh()
         // nap-and-retry like the pre-probe (bounded): a burst that arrives
         // AFTER the low run finished lands on the probe, not the
         // measurement — rejecting the pair for it is the same own-cleanup /
@@ -779,14 +853,14 @@ object Bench {
         // shows in the sampler median band or keeps the probe noisy past
         // the nap budget.
         var midWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MID_WAIT_SEC", "60").toInt
-        while (midWait > 0 && !inBand(ml._2 / mh._2)) {
-          System.err.println(f"[bench] mid-pair noisy (membw ${ml._2 / mh._2}%.2f), " +
+        while (midWait > 0 && !probeQuiet(ml._2, mh._2)) {
+          System.err.println(s"[bench] mid-pair noisy (${fmtQuiet(ml._2, mh._2)}), " +
             s"napping 10s (${midWait}s mid budget left)")
           Thread.sleep(10000L)
           midWait -= 10
-          ml = burnRun(cpusLow); mh = burnRun(cpusHigh)
+          ml = burnLow(); mh = burnHigh()
         }
-        midQuiet = inBand(ml._2 / mh._2)
+        midQuiet = probeQuiet(ml._2, mh._2)
         midMembw += ml._2 / mh._2
         System.err.println(f"[bench] mid-pair membw ${ml._2 / mh._2}%.2f (quiet: $midQuiet)")
       } else midMembw += Double.NaN
@@ -806,13 +880,13 @@ object Bench {
         // cleanup as "host noise" (observed: 7/7 post probes low while 4/7
         // pre probes were quiet). One settled re-probe disambiguates.
         Thread.sleep(8000L)
-        var pl = burnRun(cpusLow); var ph = burnRun(cpusHigh)
-        if (!inBand(pl._2 / ph._2)) {
+        var pl = burnLow(); var ph = burnHigh()
+        if (!probeQuiet(pl._2, ph._2)) {
           Thread.sleep(10000L)
-          pl = burnRun(cpusLow); ph = burnRun(cpusHigh)
+          pl = burnLow(); ph = burnHigh()
         }
         postMembw += pl._2 / ph._2
-        postQuiet = inBand(pl._2 / ph._2)
+        postQuiet = probeQuiet(pl._2, ph._2)
         carriedProbe = if (postQuiet) Some((pl, ph)) else None
       }
       // no calibration probes ran without pinning — never claim quiet

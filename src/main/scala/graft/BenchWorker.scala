@@ -89,9 +89,17 @@ object BenchWorker {
         override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = s.stageInfo
           val st = stats.getOrDefault(i.stageId, ("", 0, 0L, 0L))
+          // stage wall + absolute completion time expose scheduler gaps:
+          // wall >> sum/cores means tail/quantization idle INSIDE the
+          // stage; a jump between one stage's done-at and the next's
+          // done-at minus its wall is driver-serial time BETWEEN stages
+          val wall = (for { a <- i.submissionTime; b <- i.completionTime }
+            yield (b - a) / 1e3).getOrElse(-1.0)
+          val doneAt = i.completionTime.getOrElse(0L)
           System.err.println(f"[stage] id=${i.stageId}%3d tasks=${st._2}%3d " +
             f"sum=${st._3 / 1e3}%7.2fs max=${st._4 / 1e3}%6.2fs " +
-            f"ideal=${st._3 / 1e3 / cpus}%6.2fs  ${i.name.take(60)}")
+            f"ideal=${st._3 / 1e3 / cpus}%6.2fs wall=$wall%6.2fs " +
+            f"done=$doneAt%d  ${i.name.take(50)}")
         }
       })
     }

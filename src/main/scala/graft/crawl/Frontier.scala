@@ -445,10 +445,11 @@ object Crawl {
       val saltedWrite = !sys.env.get("SPARK_GRAFT_SALTED_WRITE").contains("0")
       // finer-than-core write tasks: (host, salt) groups are few enough at
       // fleet scale that hashing them into exactly `cores` buckets leaves
-      // visible imbalance; 2x gives the scheduler room to overlap without
-      // shrinking row groups much (A/B'd at N=2/8)
+      // visible imbalance; 3x gives the scheduler room to overlap without
+      // shrinking row groups much (quiet-window A/B at N=2/8: 3x edged 2x
+      // on both wall and cpu at 8 cores, flat at 2)
       val writeParts = parallelism *
-        sys.env.getOrElse("SPARK_GRAFT_WRITE_PARTS", "2").toInt
+        sys.env.getOrElse("SPARK_GRAFT_WRITE_PARTS", "3").toInt
       tick("stageout.write", wave) {
         (if (saltedWrite)
           scheduled.repartition(writeParts, col("host_hash"), col("salt"))
