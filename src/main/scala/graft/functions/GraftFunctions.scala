@@ -229,6 +229,88 @@ object Kernels {
   }
 
   /**
+   * Portable md5-MinHash band keys in ONE linear pass: value-identical to
+   * the column formulation
+   * `transform(sequence(0, bands-1), b -> concat_ws('',
+   *    slice(array(sig_0..sig_{perms-1}), b*rows+1, rows)))` where
+   * `sig_p = array_min(transform(shingles, s -> substring(md5(s), 1+5p, 5)))`
+   * over the distinct word-n-gram shingles of lowercase text — but the
+   * column chain materializes every shingle string, every 32-hex md5, six
+   * window arrays and a signature array per document, and Catalyst's
+   * InferFiltersFromGenerate duplicates the whole chain into a vacuous
+   * `size(bands) > 0` filter under the band explode (measured 4x on q89's
+   * corpus side). One md5 per DISTINCT-VALUE-irrelevant gram (duplicate
+   * grams can't change a min), six sliding 5-hex-char minima, `bands`
+   * concatenated keys. Empty/short docs return an empty array (the
+   * explode drops them — same rows as the chain after its size filter).
+   */
+  def md5MinhashBands(text: UTF8String, n: Int, perms: Int,
+      bands: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[UTF8String])
+    if (text == null) return empty
+    val raw = text.toLowerCase.toString.split("\\s+")
+    var m = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) m += 1; i += 1 }
+    if (m < n) return empty
+    val toks = new Array[Array[Byte]](m)
+    i = 0; var j = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        toks(j) = raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8); j += 1
+      }
+      i += 1
+    }
+    val count = m - n + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexDigits = "0123456789abcdef".toCharArray
+    // running per-permutation minima over 5-hex-char md5 windows
+    val mins = Array.fill(perms)(null: String)
+    i = 0
+    while (i < count) {
+      var len = n - 1
+      var t = 0
+      while (t < n) { len += toks(i + t).length; t += 1 }
+      val buf = new Array[Byte](len)
+      var p = 0
+      t = 0
+      while (t < n) {
+        if (t > 0) { buf(p) = ' '.toByte; p += 1 }
+        val tok = toks(i + t)
+        System.arraycopy(tok, 0, buf, p, tok.length); p += tok.length
+        t += 1
+      }
+      val dig = md.digest(buf)
+      val cs = new Array[Char](5 * perms) // first 5*perms of 32 hex chars
+      var c = 0
+      while (c < 5 * perms) {
+        val b = dig(c / 2)
+        cs(c) = hexDigits(if (c % 2 == 0) (b >> 4) & 0xF else b & 0xF)
+        c += 1
+      }
+      var q = 0
+      while (q < perms) {
+        val w = new String(cs, 5 * q, 5)
+        if (mins(q) == null || w.compareTo(mins(q)) < 0) mins(q) = w
+        q += 1
+      }
+      i += 1
+    }
+    val rows = perms / bands
+    val out = new Array[UTF8String](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(5 * rows)
+      var r = 0
+      while (r < rows) { sb.append(mins(b * rows + r)); r += 1 }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /**
    * Sliding-window chunk strings with stride (the training-sample
    * extractor: overlapping context windows over a document's tokens).
    * Window i covers tokens [i·stride, i·stride + size); emission stops
@@ -663,6 +745,19 @@ object GraftFunctions {
       inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.IntegerType)))
 
+  /** Portable md5-MinHash band keys of a text column (array<string>,
+    * one key per band) — linear-pass codegen'd kernel, value-identical to
+    * the substring(md5(shingle)) column chain (and to its DuckDB replay). */
+  def md5_minhash_bands(text: Column, n: Int, perms: Int, bands: Int): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+      "md5MinhashBands",
+      Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(n)),
+        ColumnBridge.expression(lit(perms)), ColumnBridge.expression(lit(bands))),
+      inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType)))
+
   /** Winnowing fingerprints of a text column (array<string> of 15-hex-char
     * md5-prefix window minima) — linear-pass codegen'd kernel. */
   def winnow_fps(text: Column, k: Int, w: Int): Column =
@@ -813,6 +908,14 @@ object GraftFunctions {
         org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
         "chunkTextStride", args.take(3),
         inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType)),
+      "built-in")
+    registry.createOrReplaceTempFunction("md5_minhash_bands",
+      (args: Seq[Expression]) => StaticInvoke(K,
+        org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+        "md5MinhashBands", args.take(4),
+        inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
           org.apache.spark.sql.types.IntegerType)),
       "built-in")
     registry.createOrReplaceTempFunction("winnow_fps",

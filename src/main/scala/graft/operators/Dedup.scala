@@ -376,11 +376,13 @@ object Dedup {
    * byte-for-byte at ONE digest per shingle instead of `perms`. The
    * windows are disjoint slices of a strongly mixing digest —
    * independent enough for LSH recall, and recall is deterministic and
-   * identical in both engines regardless. The production-throughput
-   * variant of the same shape is [[minhashLshPairs]]'s codegen'd
-   * `minhash_bands` kernel over 8-byte xxhash64 keys; this one trades
-   * kernel speed for cross-engine replayability (the driver's DuckDB
-   * gate can check it value-exact).
+   * identical in both engines regardless. The band keys are computed by
+   * the one-pass `md5_minhash_bands` kernel — value-identical to the
+   * substring(md5(shingle)) column chain a SQL engine replays (spec:
+   * RetrievalSpec kernel-parity test), so the driver's DuckDB gate checks
+   * it value-exact at kernel speed. The pure-throughput sibling of the
+   * same shape is [[minhashLshPairs]]'s `minhash_bands` over 8-byte
+   * xxhash64 keys.
    *
    * Returns (batch_id, corpus_id, jaccard) for verified pairs ≥ threshold.
    */
@@ -390,29 +392,29 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
     require(perms * 5 <= 32, s"at most 6 md5 5-hex-char windows, got $perms")
-    val rows = perms / bands
-    def prepared(df: DataFrame, as: String): DataFrame = {
-      val sh = shingles(col(textCol), n)
-      val sig = array((0 until perms).map(p =>
-        array_min(transform(col("_h"), h => substring(h, 1 + 5 * p, 5)))): _*)
-      df.select(col(idCol).as(as), sh.as("_sh"))
-        .filter(size(col("_sh")) > 0)
-        .withColumn("_h", transform(col("_sh"), s => md5(s)))
-        .withColumn("_sig", sig)
-        .drop("_h")
-        .withColumn("_bands", transform(sequence(lit(0), lit(bands - 1)),
-          i => concat_ws("", slice(col("_sig"), i * rows + 1, lit(rows)))))
-    }
+    // band keys via the one-pass md5-MinHash kernel (value-identical to
+    // the substring(md5(shingle)) column chain the DuckDB oracle replays;
+    // the chain form paid 4x here — InferFiltersFromGenerate copies the
+    // generator child into a vacuous size>0 filter under the explode, so
+    // every md5 ran twice and the six per-perm window arrays materialized)
+    def bandKeys(df: DataFrame, as: String): DataFrame = df.select(
+      col(idCol).as(as),
+      posexplode(graft.functions.GraftFunctions.md5_minhash_bands(
+        col(textCol), n, perms, bands)).as(Seq("band", "key")))
     // only BATCH-scaled frames materialize: the batch prep (feeds the band
     // join and the verify) and the candidate pair table (feeds the semi-join
     // probe and the final join). The corpus streams map-side through the
-    // band join and is re-derived for candidate ids only — a corpus-sized
-    // shingle table never materializes or checkpoints.
-    val c = prepared(corpus, "corpus_id")
-    val b = prepared(batch, "batch_id").localCheckpoint()
-    val cBands = c.select(col("corpus_id"), posexplode(col("_bands")).as(Seq("band", "key")))
-    val bBands = b.select(col("batch_id"), posexplode(col("_bands")).as(Seq("band", "key")))
-    val cands = bBands.join(cBands, Seq("band", "key"))
+    // band join — broadcast the batch band keys explicitly: the batch is
+    // the small side BY CONTRACT (an incoming batch screened against the
+    // corpus), and without the hint Catalyst sees unknown stats on the
+    // checkpointed side and builds against the CORPUS
+    val b = batch.select(col(idCol).as("batch_id"),
+        shingles(col(textCol), n).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .localCheckpoint()
+    val cBands = bandKeys(corpus, "corpus_id")
+    val bBands = bandKeys(batch, "batch_id")
+    val cands = cBands.join(broadcast(bBands), Seq("band", "key"))
       .select("batch_id", "corpus_id").distinct()
       .localCheckpoint()
     // exact-Jaccard verify over the candidates only; the intersection
@@ -430,7 +432,14 @@ object Dedup {
       .select(col("corpus_id"), size(col("_sh")).as("_nc"),
         explode(col("_sh")).as("_ss"))
       .select(col("corpus_id"), col("_nc"), xxhash64(col("_ss")).as("_s"))
-    cands.join(bSh, Seq("batch_id")).join(cSh, Seq("corpus_id", "_s"))
+    // the verify joins keep the CORPUS-scale side (cSh) streaming: cands
+    // and bSh are batch-bounded by contract, so the probe spine
+    // (cands x batch shingle hashes) broadcasts and the corpus shingle
+    // rows flow map-side into one BHJ + the final aggregation exchange —
+    // without the hints the unknown checkpoint stats push Catalyst to
+    // sort-merge joins with two extra full exchanges
+    broadcast(cands.join(broadcast(bSh), Seq("batch_id")))
+      .join(cSh, Seq("corpus_id", "_s"))
       .groupBy("batch_id", "corpus_id", "_nb", "_nc")
       .agg(count(lit(1)).as("_i"))
       .withColumn("jaccard", round(col("_i").cast("double") /

@@ -91,6 +91,41 @@ class RetrievalSpec extends SparkSuite {
     assert(pairs.forall(p => p._1.startsWith("b")), "only batch-led pairs")
   }
 
+  test("md5_minhash_bands kernel: value-identical to the substring(md5) column chain") {
+    // the chain the DuckDB oracle replays — the kernel must match it
+    // byte-for-byte on every band key (incl. duplicate shingles, short
+    // docs, punctuation/whitespace runs, and the empty-gram edge)
+    val (n, perms, bands) = (3, 6, 3)
+    val rows = perms / bands
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "alpha beta alpha beta alpha beta alpha beta"), // duplicate grams
+      (3L, "one two three"),                               // exactly n tokens
+      (4L, "short doc"),                                   // < n tokens
+      (5L, "  MIXED   Case\ttokens\nwith   runs  of whitespace and CAPS "),
+      (6L, "")                                             // empty
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(col("text"), n)
+    val sig = array((0 until perms).map(p =>
+      array_min(transform(col("_h"), h => substring(h, 1 + 5 * p, 5)))): _*)
+    val chain = docs.select(col("doc_id"), sh.as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_h", transform(col("_sh"), s => md5(s)))
+      .withColumn("_sig", sig)
+      .withColumn("_bands", transform(sequence(lit(0), lit(bands - 1)),
+        i => concat_ws("", slice(col("_sig"), i * rows + 1, lit(rows)))))
+      .select(col("doc_id"), col("_bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val kernel = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.md5_minhash_bands(
+          col("text"), n, perms, bands).as("_bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(kernel(4L).isEmpty && kernel(6L).isEmpty,
+      "sub-n-token docs produce no band keys")
+    for (id <- chain.keys) assert(kernel(id) === chain(id),
+      s"band keys for doc $id must match the column chain")
+  }
+
   test("crossCorpusMinhashPairs: near-dup above threshold survives the bands") {
     // 20-token doc with one token changed: J ~= (18-?)/(...) well over 0.5
     val base = (1 to 20).map(i => s"tok$i").mkString(" ")
