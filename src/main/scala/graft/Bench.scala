@@ -305,7 +305,10 @@ object Bench {
     // ~20 s once per artifact; measured before any pair so it cannot be
     // tuned to a favorable moment mid-hunt.
     val membwCurve: Seq[(Int, Double)] =
-      if (!pin) Seq.empty
+      // maxRounds == 0 is query-iteration mode: the scaling phase (the
+      // curve's only consumer) is skipped, so don't spend ~20 s of burn
+      // JVMs perturbing the host for an artifact that is never emitted
+      if (!pin || maxRounds == 0) Seq.empty
       else Seq(1, 2, 4, 8, 16).map(n => n -> burnRun(n)._2)
     if (membwCurve.nonEmpty)
       System.err.println("[bench] hardware membw curve (fixed work/thread): " +
@@ -431,10 +434,21 @@ object Bench {
       if (probesLowAll.isEmpty) Double.NaN else probesLowAll.min, histMbLow)
     def mbFloorHigh: Double = withHist(
       if (probesHighAll.isEmpty) Double.NaN else probesHighAll.min, histMbHigh)
-    /** Absolute per-level probe quietness; ratio-band bootstrap while the
-      * fresh workload key has no floor and this run has seen no better. */
+    /** Absolute per-level probe quietness, judged against floors built from
+      * PRIOR evidence only: the probe being judged is excluded from the
+      * floor (its reading was already appended to the observation stream),
+      * so a fresh workload key's first probe cannot self-certify quiet
+      * against itself. With no prior evidence at all (new key, no persisted
+      * history), the two-sided ratio band bootstraps the run/skip call. */
     def probeQuiet(mbLow: Double, mbHigh: Double): Boolean = {
-      val (fl, fh) = (mbFloorLow, mbFloorHigh)
+      def priorFloor(all: scala.collection.mutable.ArrayBuffer[Double],
+          cur: Double, hist: Double): Double = {
+        val idx = all.lastIndexOf(cur)
+        val prior = if (idx < 0) all.toSeq else all.toSeq.patch(idx, Nil, 1)
+        withHist(if (prior.isEmpty) Double.NaN else prior.min, hist)
+      }
+      val fl = priorFloor(probesLowAll, mbLow, histMbLow)
+      val fh = priorFloor(probesHighAll, mbHigh, histMbHigh)
       if (fl.isNaN || fh.isNaN) {
         val r = mbLow / mbHigh
         r >= quietThreshold && r <= 1.0 / quietThreshold
@@ -447,6 +461,14 @@ object Bench {
     val prePostQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     // pre && mid only — the probes that bracket the LOW run
     val preMidQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    // per-pair ABSOLUTE probe readings (low membw, high membw) — pre, mid,
+    // post — so recomputeQuiet can re-judge every pair's probe verdicts
+    // against the FINAL floors: floors only ratchet down, so a later,
+    // deeper-quiet observation retroactively REJECTS an earlier pair that
+    // was judged against a looser floor (it can never admit one)
+    val probePre = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val probeMid = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val probePost = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val midMembw = scala.collection.mutable.ArrayBuffer.empty[Double]
     val duringLowSamples = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
     val duringHighSamples = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
@@ -579,6 +601,19 @@ object Bench {
         val durLowOk = (duringLow(i).isNaN || duringLow(i) <= bl * duringBand) &&
           interiorOk(duringLowSamples(i), bl)
         val durHighOk = duringHigh(i).isNaN || duringHigh(i) <= bh * duringBand
+        // probe verdicts re-judged against the FINAL floors (not the ones
+        // in force when the pair ran) from the stored absolute readings
+        def probeOkFinal(p: (Double, Double)): Boolean =
+          if (p._1.isNaN || p._2.isNaN) false // no probe ran (unpinned)
+          else {
+            val (fl, fh) = (mbFloorLow, mbFloorHigh)
+            if (fl.isNaN || fh.isNaN) {
+              val r = p._1 / p._2
+              r >= quietThreshold && r <= 1.0 / quietThreshold
+            } else p._1 <= fl * probeBand && p._2 <= fh * probeBand
+          }
+        preMidQuiet(i) = probeOkFinal(probePre(i)) && probeOkFinal(probeMid(i))
+        prePostQuiet(i) = preMidQuiet(i) && probeOkFinal(probePost(i))
         // gate eligibility: the LOW-side window quiet (inflation ruled
         // out); high-side noise only deflates the pair — lower bound
         pairLowQuiet(i) = preMidQuiet(i) && durLowOk
@@ -622,7 +657,6 @@ object Bench {
     val phaseStart = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - phaseStart) / 1000000000L
     val postMembw = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def inBand(r: Double): Boolean = r >= quietThreshold && r <= 1.0 / quietThreshold
     // burns feed the absolute floor stream (probesLow/HighAll) so every
     // observation — accepted, napped past, or skipped — ratchets the floor
     def burnLow(): (Double, Double) = { val b = burnRun(cpusLow); probesLowAll += b._2; b }
@@ -830,6 +864,10 @@ object Bench {
         }
       }
       if (runPair) {
+      // store the accepted pre-probe's absolute readings for final
+      // re-judgment (burnsLow/High hold the accepted pre burns)
+      probePre += (if (pin) (burnsLow.last._2, burnsHigh.last._2)
+                   else (Double.NaN, Double.NaN))
       val rl = sampled(cpusLow, warm = round == 0, duringLow, duringLowSamples)
       System.err.println(f"[bench] local[$cpusLow] round${round + 1}: ${rl._1}%.2fs")
       runsLow += rl
@@ -862,8 +900,9 @@ object Bench {
         }
         midQuiet = probeQuiet(ml._2, mh._2)
         midMembw += ml._2 / mh._2
+        probeMid += ((ml._2, mh._2))
         System.err.println(f"[bench] mid-pair membw ${ml._2 / mh._2}%.2f (quiet: $midQuiet)")
-      } else midMembw += Double.NaN
+      } else { midMembw += Double.NaN; probeMid += ((Double.NaN, Double.NaN)) }
       val rh = sampled(cpusHigh, warm = round == 0, duringHigh, duringHighSamples)
       runsHigh += rh
       // POST-pair probe: noise that arrived mid-pair corrupts the crawl
@@ -886,13 +925,16 @@ object Bench {
           pl = burnLow(); ph = burnHigh()
         }
         postMembw += pl._2 / ph._2
+        probePost += ((pl._2, ph._2))
         postQuiet = probeQuiet(pl._2, ph._2)
         carriedProbe = if (postQuiet) Some((pl, ph)) else None
-      }
-      // no calibration probes ran without pinning — never claim quiet
-      prePostQuiet += (quietGating && preQuiet && midQuiet && postQuiet)
-      preMidQuiet += (quietGating && preQuiet && midQuiet)
-      pairQuiet += false // placeholder; recomputed below with during-run data
+      } else { postMembw += Double.NaN; probePost += ((Double.NaN, Double.NaN)) }
+      // placeholders — ALL quiet verdicts (probe + during-sampler) are
+      // recomputed below from the stored absolute readings against the
+      // final floors; unpinned runs stored NaN probes and never read quiet
+      prePostQuiet += false
+      preMidQuiet += false
+      pairQuiet += false
       pairLowQuiet += false
       recomputeQuiet()
       System.err.println(f"[bench] local[$cpusHigh] round${round + 1}: ${rh._1}%.2fs" +

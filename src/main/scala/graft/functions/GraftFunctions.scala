@@ -246,6 +246,16 @@ object Kernels {
    */
   def md5MinhashBands(text: UTF8String, n: Int, perms: Int,
       bands: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // the kernel is SQL-registered, so it must validate its own window
+    // geometry: perms > 6 would read past the 16-byte md5 digest, and
+    // bands that don't divide perms would silently drop signature minima
+    // (or, with rows = 0, emit identical empty keys that degenerate a
+    // band join into a cross product)
+    if (n < 1 || perms < 1 || perms * 5 > 32 || bands < 1 || bands > perms ||
+        perms % bands != 0)
+      throw new IllegalArgumentException(
+        s"md5_minhash_bands: need n >= 1, 1 <= perms <= 6 (5-hex-char md5 " +
+        s"windows), and bands dividing perms; got n=$n perms=$perms bands=$bands")
     val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array.empty[UTF8String])
     if (text == null) return empty
@@ -340,8 +350,11 @@ object Kernels {
     // stop once a window's end reaches the document end: with stride <
     // size, later starts would emit strict suffix-subsets of the previous
     // window (duplicate training samples). The last window is the first
-    // whose [start, start+size) covers the tail.
-    val nWin = if (m <= size) 1 else (m - size + stride - 1) / stride + 1
+    // whose [start, start+size) covers the tail. Starts must also stay
+    // below m: with stride > size the cover-the-tail count alone would
+    // schedule an empty window past the last token (negative buffer size).
+    val nWinCover = if (m <= size) 1 else (m - size + stride - 1) / stride + 1
+    val nWin = math.min((m - 1) / stride + 1, nWinCover)
     val out = new Array[UTF8String](nWin)
     var w = 0
     while (w < nWin) {

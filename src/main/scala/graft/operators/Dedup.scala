@@ -402,18 +402,25 @@ object Dedup {
       posexplode(graft.functions.GraftFunctions.md5_minhash_bands(
         col(textCol), n, perms, bands)).as(Seq("band", "key")))
     // only BATCH-scaled frames materialize: the batch prep (feeds the band
-    // join and the verify) and the candidate pair table (feeds the semi-join
-    // probe and the final join). The corpus streams map-side through the
-    // band join — broadcast the batch band keys explicitly: the batch is
-    // the small side BY CONTRACT (an incoming batch screened against the
-    // corpus), and without the hint Catalyst sees unknown stats on the
-    // checkpointed side and builds against the CORPUS
-    val b = batch.select(col(idCol).as("batch_id"),
+    // join and the verify — text rides along so the band keys derive from
+    // the SAME snapshot as the verify shingles, not a second evaluation of
+    // a possibly non-deterministic input plan) and the candidate pair
+    // table (feeds the semi-join probe and the final join). The corpus
+    // streams map-side through the band join — broadcast the batch band
+    // keys explicitly: the batch is the small side BY CONTRACT (an
+    // incoming batch screened against the corpus), and without the hint
+    // Catalyst sees unknown stats on the checkpointed side and builds
+    // against the CORPUS. The corpus IS scanned twice (band keys, then
+    // candidate shingles) — it must be a deterministic source (a stored
+    // table), which is the operator's contract at corpus scale anyway.
+    val b = batch.select(col(idCol).as("batch_id"), col(textCol),
         shingles(col(textCol), n).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .localCheckpoint()
     val cBands = bandKeys(corpus, "corpus_id")
-    val bBands = bandKeys(batch, "batch_id")
+    val bBands = b.select(col("batch_id"),
+      posexplode(graft.functions.GraftFunctions.md5_minhash_bands(
+        col(textCol), n, perms, bands)).as(Seq("band", "key")))
     val cands = cBands.join(broadcast(bBands), Seq("band", "key"))
       .select("batch_id", "corpus_id").distinct()
       .localCheckpoint()
@@ -432,14 +439,17 @@ object Dedup {
       .select(col("corpus_id"), size(col("_sh")).as("_nc"),
         explode(col("_sh")).as("_ss"))
       .select(col("corpus_id"), col("_nc"), xxhash64(col("_ss")).as("_s"))
-    // the verify joins keep the CORPUS-scale side (cSh) streaming: cands
-    // and bSh are batch-bounded by contract, so the probe spine
-    // (cands x batch shingle hashes) broadcasts and the corpus shingle
-    // rows flow map-side into one BHJ + the final aggregation exchange —
-    // without the hints the unknown checkpoint stats push Catalyst to
-    // sort-merge joins with two extra full exchanges
-    broadcast(cands.join(broadcast(bSh), Seq("batch_id")))
-      .join(cSh, Seq("corpus_id", "_s"))
+    // the verify joins keep the CORPUS-scale side (cSh) streaming; only
+    // frames bounded by the batch contract are broadcast — the candidate
+    // PAIR LIST and the batch shingle hashes, each individually small.
+    // The (cands x batch shingles) product is never materialized or
+    // broadcast (its size scales with candidate fan-out, not the batch):
+    // corpus shingle rows pick up their candidate batch_ids map-side from
+    // the broadcast pair list, then intersect against the broadcast batch
+    // hashes — two BHJs + the final aggregation exchange, no sort-merge
+    cSh
+      .join(broadcast(cands), Seq("corpus_id"))
+      .join(broadcast(bSh), Seq("batch_id", "_s"))
       .groupBy("batch_id", "corpus_id", "_nb", "_nc")
       .agg(count(lit(1)).as("_i"))
       .withColumn("jaccard", round(col("_i").cast("double") /

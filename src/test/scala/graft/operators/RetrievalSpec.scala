@@ -126,6 +126,23 @@ class RetrievalSpec extends SparkSuite {
       s"band keys for doc $id must match the column chain")
   }
 
+  test("md5_minhash_bands kernel: rejects window geometry it cannot honor") {
+    // the kernel is SQL-registered, so it guards its own bounds: perms > 6
+    // would read past the 16-byte digest; bands not dividing perms would
+    // silently drop minima; rows = 0 would emit identical empty keys
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    for ((n, perms, bands) <- Seq((3, 7, 7), (3, 6, 4), (3, 2, 3), (0, 6, 3))) {
+      val ex = intercept[Exception] {
+        docs.select(graft.functions.GraftFunctions.md5_minhash_bands(
+          col("text"), n, perms, bands)).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.isInstanceOf[IllegalArgumentException]),
+        s"(n=$n, perms=$perms, bands=$bands) must raise IllegalArgumentException")
+    }
+  }
+
   test("crossCorpusMinhashPairs: near-dup above threshold survives the bands") {
     // 20-token doc with one token changed: J ~= (18-?)/(...) well over 0.5
     val base = (1 to 20).map(i => s"tok$i").mkString(" ")

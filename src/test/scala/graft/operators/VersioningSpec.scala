@@ -59,4 +59,27 @@ class VersioningSpec extends SparkSuite {
     assert(spark.sql("SELECT size(chunk_text_stride(text, 4, 2)) FROM ctsdocs WHERE i = 0")
       .as[Int].head === 3)
   }
+
+  test("chunk_text_stride: stride > size skips gap tokens without crashing") {
+    // regression: the cover-the-tail window count alone scheduled a start
+    // PAST the last token when stride > size (m=2, size=1, stride=2 →
+    // window start 2 == m → new Array[Byte](-1)); starts must stay < m
+    val df = Seq(
+      ("a b", 0),           // m=2: only start 0 is a valid window
+      ("a b c d e", 1),     // m=5, size=2, stride=3: starts 0, 3
+      ("a b c", 2)          // m=3, size=1, stride=2: starts 0, 2
+    ).toDF("text", "i")
+    val w0 = df.filter(col("i") === 0).select(
+      graft.functions.GraftFunctions.chunk_text_stride(col("text"), 1, 2).as("w"))
+      .as[Seq[String]].head
+    assert(w0 === Seq("a"))
+    val w1 = df.filter(col("i") === 1).select(
+      graft.functions.GraftFunctions.chunk_text_stride(col("text"), 2, 3).as("w"))
+      .as[Seq[String]].head
+    assert(w1 === Seq("a b", "d e"))
+    val w2 = df.filter(col("i") === 2).select(
+      graft.functions.GraftFunctions.chunk_text_stride(col("text"), 1, 2).as("w"))
+      .as[Seq[String]].head
+    assert(w2 === Seq("a", "c"))
+  }
 }

@@ -91,7 +91,13 @@ def main(sfdir, outdir):
             results[name] = f"ROWS_ONLY rows={len(grows)}" + (" EMPTY!" if not grows else "")
             continue
         try:
-            exp = con.sql(oracle[name])
+            # one oracle execution: materialize into a temp table, then the
+            # value compare (fetchall: native Python nulls/dates) and the
+            # dtype check (.df(): the driver's pandas view) each re-scan the
+            # materialized rows instead of re-running the SQL (the replay
+            # oracles are expensive — re-running doubled gate wall time)
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _exp AS {oracle[name]}")
+            exp = con.sql("SELECT * FROM _exp")
             ecols, erows = [d[0] for d in exp.description], exp.fetchall()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {e}"
@@ -105,7 +111,7 @@ def main(sfdir, outdir):
         gk, ek = frame_key(grows, gcols), frame_key(erows, ecols)
         if gk == ek:
             try:
-                dt = dtype_check(qdir, con.sql(oracle[name]).df())
+                dt = dtype_check(qdir, con.sql("SELECT * FROM _exp").df())
             except Exception as e:
                 dt = [f"dtype_check crashed: {e}"]
             if dt:
