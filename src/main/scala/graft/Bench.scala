@@ -414,12 +414,37 @@ object Bench {
         case _ => root.putObject(stateKey)
       }
     val (histDurLow, histDurHigh, histMbLow, histMbHigh) = {
-      val node = loadStateRoot().get(stateKey)
-      if (node == null) (Double.NaN, Double.NaN, Double.NaN, Double.NaN)
-      else (node.path("dur_low").asDouble(Double.NaN),
-        node.path("dur_high").asDouble(Double.NaN),
-        node.path("mb_low").asDouble(Double.NaN),
-        node.path("mb_high").asDouble(Double.NaN))
+      val root = loadStateRoot()
+      val node = root.get(stateKey)
+      def own(field: String): Double =
+        if (node == null) Double.NaN else node.path(field).asDouble(Double.NaN)
+      // The during-run sampler is a SINGLE-THREAD host probe in the
+      // orchestrator — the same physical measurement for every
+      // (scale, cpusLow, cpusHigh) key — so a fresh key's missing during
+      // floor is seeded from the strictest during floor any key has ever
+      // persisted on this host. Strictly tightening for rejection (a lower
+      // floor only rejects more pairs), and for mint eligibility it
+      // substitutes real cross-key host-quiet evidence for the missing
+      // per-key history: the hardening-#2 failure mode (a contended session
+      // deriving the floor from its own degraded minimum) cannot occur,
+      // because the seed comes from a different, quieter session. The
+      // per-level MEMBW floors are NOT seeded: that probe runs cpusLow/
+      // cpusHigh threads, so readings are only comparable within a key.
+      def crossKeyMin(field: String): Double = {
+        var best = Double.NaN
+        val it = root.fields()
+        while (it.hasNext) {
+          val v = it.next().getValue.path(field).asDouble(Double.NaN)
+          if (!v.isNaN && (best.isNaN || v < best)) best = v
+        }
+        best
+      }
+      def seeded(field: String): Double = {
+        val o = own(field)
+        val x = crossKeyMin(field)
+        if (o.isNaN) x else if (x.isNaN) o else math.min(o, x)
+      }
+      (seeded("dur_low"), seeded("dur_high"), own("mb_low"), own("mb_high"))
     }
     def withHist(runMin: Double, hist: Double): Double =
       if (hist.isNaN) runMin
