@@ -413,6 +413,30 @@ object Bench {
         case o: com.fasterxml.jackson.databind.node.ObjectNode => o
         case _ => root.putObject(stateKey)
       }
+    // A state key's workload-version suffix ("" for pre-versioning keys).
+    def keyVersion(key: String): String = {
+      val parts = key.split(":")
+      if (parts.length >= 4) parts(3) else ""
+    }
+    /** Strictest persisted during floor among keys of ONE workload version.
+      * The during sampler is a single-thread host probe — the same physical
+      * measurement for every (scale, window) key — but it runs DURING the
+      * crawl, so readings are only comparable across keys that ran the same
+      * workload version. */
+    def crossKeyMinForVersion(
+        root: com.fasterxml.jackson.databind.node.ObjectNode,
+        field: String, version: String): Double = {
+      var best = Double.NaN
+      val it = root.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (keyVersion(e.getKey) == version) {
+          val v = e.getValue.path(field).asDouble(Double.NaN)
+          if (!v.isNaN && (best.isNaN || v < best)) best = v
+        }
+      }
+      best
+    }
     val (histDurLow, histDurHigh, histMbLow, histMbHigh) = {
       val root = loadStateRoot()
       val node = root.get(stateKey)
@@ -430,15 +454,12 @@ object Bench {
       // because the seed comes from a different, quieter session. The
       // per-level MEMBW floors are NOT seeded: that probe runs cpusLow/
       // cpusHigh threads, so readings are only comparable within a key.
-      def crossKeyMin(field: String): Double = {
-        var best = Double.NaN
-        val it = root.fields()
-        while (it.hasNext) {
-          val v = it.next().getValue.path(field).asDouble(Double.NaN)
-          if (!v.isNaN && (best.isNaN || v < best)) best = v
-        }
-        best
-      }
+      // Version-scoped: during readings are only comparable within one
+      // workload version (the sampler reads crawl+host bus together, and
+      // the round-4 stale-floor lesson applies in both directions), so the
+      // seed pool is keys of the SAME version only.
+      def crossKeyMin(field: String): Double =
+        crossKeyMinForVersion(root, field, workloadVersion)
       def seeded(field: String): Double = {
         val o = own(field)
         val x = crossKeyMin(field)
@@ -602,6 +623,38 @@ object Bench {
       val floor = withHist(Double.NaN, histDurLow)
       if (!recDur.isNaN && !floor.isNaN && recDur > floor * duringBand) "null"
       else bq.toString
+    }
+    /** Campaign-best quiet pairs for EVERY persisted (scale:cpusLow:cpusHigh)
+      * window at the bench scale, so evidence from any N→4N window rides in
+      * every artifact regardless of which window this invocation measured.
+      * Each record gets the same read-time during-floor re-validation as the
+      * primary key's record (floors only ratchet down, so re-validation can
+      * only retroactively reject). */
+    def campaignBestByWindowJson(): String = {
+      val root = loadStateRoot()
+      val out = new StringBuilder("{")
+      val it = root.fields()
+      var first = true
+      while (it.hasNext) {
+        val e = it.next()
+        val key = e.getKey
+        val bq = e.getValue.get("best_quiet")
+        if (bq != null && key.startsWith(s"$benchScale:")) {
+          val recDur = bq.path("during_low").asDouble(Double.NaN)
+          // judge each record against ITS OWN workload-version's floor:
+          // during readings are only comparable within one version (the
+          // sampler reads crawl+host bus together), so a w4 record is
+          // re-validated against the strictest w4 floor, not w5's
+          val fl = crossKeyMinForVersion(root, "dur_low", keyVersion(key))
+          val valid = recDur.isNaN || fl.isNaN || recDur <= fl * duringBand
+          if (valid) {
+            if (!first) out.append(",")
+            first = false
+            out.append("\"").append(key).append("\":").append(bq.toString)
+          }
+        }
+      }
+      out.append("}").toString
     }
     def recomputeQuiet(): Unit = {
       // the quiet floor is the better of this run's minimum and the
@@ -824,7 +877,8 @@ object Bench {
                 s""""hardware_membw_curve":{${membwCurve.map { case (n, s) =>
                   f""""$n":$s%.3f""" }.mkString(",")}},"""
                else "") +
-              s""""campaign_best_quiet":${campaignBestQuietJson()},"""
+              s""""campaign_best_quiet":${campaignBestQuietJson()},""" +
+              s""""campaign_best_by_window":${campaignBestByWindowJson()},"""
            else "") +
           s""""runs_low_sec":${runsLowAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
           s""""runs_high_sec":${runsHighAll.map(r => f"$r%.2f").mkString("[", ",", "]")},""" +
