@@ -338,6 +338,17 @@ object Crawl {
       // fetch-stage task count follows the session's reducer knob (finer
       // than core count so stragglers overlap), not the raw core count
       val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // Scale-adaptive partition counts (guide §2.5/§6): the wave's task
+      // count follows the WAVE SIZE (frontierCount is already known — the
+      // producer counted it), capped at the core-derived counts so
+      // big-crawl plans are byte-identical to before. Without the floor a
+      // 3k-row daemon crawl fans out 128 politeness tasks + 96 writer
+      // tasks per wave — pure scheduler overhead and a 96-file stage-out
+      // for a wave that fits one task.
+      val rowsPerTask = sys.env.getOrElse("SPARK_GRAFT_ROWS_PER_TASK", "8192").toLong
+      def adaptiveParts(cap: Int): Int =
+        math.max(1L, math.min(cap.toLong,
+          (frontierCount + rowsPerTask - 1) / rowsPerTask)).toInt
 
       // 2-4. in-wave dedup (breadth-smallest order key per url_hash) +
       // seen-set filter + politeness clock. Strategies via SPARK_GRAFT_DEDUP:
@@ -367,7 +378,7 @@ object Crawl {
             // partitions (the politeness rank needs the host contiguous),
             // so the hot host is a fixed-size task — smaller sibling tasks
             // let the scheduler overlap it instead of idling at the barrier
-            .repartition(parallelism * 4, col("host_hash"))
+            .repartition(adaptiveParts(parallelism * 4), col("host_hash"))
             .sortWithinPartitions(col("host_hash"), col("depth"), col("site_id"),
               col("page"), col("row"), col("url_hash"))
             .mapPartitions { it =>
@@ -448,8 +459,8 @@ object Crawl {
       // visible imbalance; 3x gives the scheduler room to overlap without
       // shrinking row groups much (quiet-window A/B at N=2/8: 3x edged 2x
       // on both wall and cpu at 8 cores, flat at 2)
-      val writeParts = parallelism *
-        sys.env.getOrElse("SPARK_GRAFT_WRITE_PARTS", "3").toInt
+      val writeParts = adaptiveParts(parallelism *
+        sys.env.getOrElse("SPARK_GRAFT_WRITE_PARTS", "3").toInt)
       tick("stageout.write", wave) {
         (if (saltedWrite)
           scheduled.repartition(writeParts, col("host_hash"), col("salt"))

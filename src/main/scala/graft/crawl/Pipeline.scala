@@ -47,7 +47,9 @@ object Pipeline {
     val newPosts = crawl.posts.join(order, Seq("url"), "left")
       .withColumn("seq", coalesce(col("seq"), lit(0L)))
 
-    val merged = Merge.mergeEntries(cache, newPosts, now)
+    // the merged cache feeds four consumers (top-K -> JSON + RSS feeds,
+    // the cache snapshot, the event table) — stage it once
+    val merged = Merge.mergeEntries(cache, newPosts, now, stageResult = true)
     val top = Merge.topKPerSite(merged.posts, topK)
 
     Output(

@@ -301,14 +301,62 @@ object Dedup {
    */
   def nearDupClusters(
       pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, maxDriverEdges: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // Small-graph short-circuit (the broadcast-join principle applied to
+    // component labeling): a pair table under `maxDriverEdges` rows is
+    // control-plane sized — union-find on the driver replaces ~log(n)
+    // rounds of join+checkpoint+count jobs whose cost is all fixed
+    // scheduling overhead at this size. The result is value-identical to
+    // the fixpoint loop (cluster = exact min id of the component). Only
+    // integral ids take this path (driver min must equal Spark's ordering);
+    // larger tables — the 100 TB case — run the distributed loop below.
+    // The edge count is a metadata-cheap job: edges were just checkpointed.
+    val idTypeOk = edges.schema("u").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (idTypeOk && maxDriverEdges > 0 && edges.count() <= maxDriverEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val idType = edges.schema("u").dataType
+      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        // union by MIN root so the final root IS the component minimum
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      return nodes.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster")
+        .select(col("id").cast(idType), col("cluster").cast(idType))
+    }
+    // init = round 1 folded into one aggregation: with labels initialized
+    // to the node id, the first neighbor-min round computes exactly
+    // least(id, min(neighbor id)) and the pointer jump is the identity —
+    // so start the loop FROM that state and save a full round of
+    // join+checkpoint+count jobs (edges are symmetric, so every node
+    // appears as `u` and the groupBy covers all of them)
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("_nbr"))
+      .select(col("id"), least(col("id"), col("_nbr")).as("cluster"))
       .localCheckpoint()
-    var iter = 0
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
       // neighbor min: the smallest label adjacent to each node

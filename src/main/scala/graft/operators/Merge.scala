@@ -61,7 +61,8 @@ object Merge {
    * reference's stable sort tiebreaker. Emits posts (+`rank`) and a
    * `post_created`/`post_updated` event table.
    */
-  def mergeEntries(oldDf: DataFrame, newDf: DataFrame, now: Timestamp): MergeResult = {
+  def mergeEntries(oldDf: DataFrame, newDf: DataFrame, now: Timestamp,
+      stageResult: Boolean = false): MergeResult = {
     val spark = oldDf.sparkSession
 
     val oldRanked =
@@ -124,7 +125,7 @@ object Merge {
     val createdAt = when(isUpdate && nc("updated_at").isNotNull, nc("created_at"))
       .otherwise(pick("created_at"))
 
-    val merged = joined.select(
+    val merged0 = joined.select(
       (postCols.map {
         case "created_at" => createdAt.as("created_at")
         case f            => pick(f).as(f)
@@ -133,6 +134,10 @@ object Merge {
         when(isInsert, lit("post_created"))
           .when(isUpdate, lit("post_updated"))
           .otherwise(lit(null).cast("string")).as("_event")): _*)
+    // stageResult: materialize the joined/window'd merge ONCE (lazily, on
+    // first consumer) so posts and events don't each re-run the full-outer
+    // join + three windows — the one-crawl-many-consumers daemon shape.
+    val merged = if (stageResult) merged0.localCheckpoint(eager = false) else merged0
 
     val events = merged.filter(col("_event").isNotNull)
       .select(col("site_id"), col("_event").as("event"), col("id").as("post_id"),

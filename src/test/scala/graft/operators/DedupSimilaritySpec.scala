@@ -100,11 +100,27 @@ class DedupSimilaritySpec extends SparkSuite {
       .as[Long].collect().toSet
     assert(kept === Set(1L, 4L, 5L, 7L, 8L, 9L, 10L, 14L))
     // a 40-node path graph: the worst case for plain min-label (needs 39
-    // neighbor rounds); pointer jumping must converge within maxIter=20
+    // neighbor rounds); pointer jumping must converge within maxIter=20.
+    // maxDriverEdges=0 forces the DISTRIBUTED loop so this keeps covering
+    // the at-scale path now that small tables short-circuit to the driver
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
-    val chainCl = Dedup.nearDupClusters(chain, maxIter = 20)
+    val chainCl = Dedup.nearDupClusters(chain, maxIter = 20, maxDriverEdges = 0)
       .as[(Long, Long)].collect()
     assert(chainCl.forall(_._2 == 1L), chainCl.filter(_._2 != 1L).take(5).mkString(","))
+  }
+
+  test("nearDupClusters: driver union-find short-circuit equals the distributed fixpoint loop") {
+    // chains, a star, an isolated pair, duplicate + reversed edges — the
+    // two paths must label every component with the same minimum id
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 5L), (9L, 6L), (9L, 7L),
+      (20L, 21L), (2L, 1L), (1L, 2L), (30L, 31L), (31L, 32L), (30L, 32L)))
+      .toDF("a", "b")
+    val viaDriver = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val viaLoop = Dedup.nearDupClusters(pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(viaDriver === viaLoop)
+    assert(viaDriver.toMap.apply(7L) === 5L) // star rooted at its min member
   }
 
   test("hyperplane-sigs kernel is value-identical to the per-bit column construction") {
