@@ -345,7 +345,8 @@ object Crawl {
       // 3k-row daemon crawl fans out 128 politeness tasks + 96 writer
       // tasks per wave — pure scheduler overhead and a 96-file stage-out
       // for a wave that fits one task.
-      val rowsPerTask = sys.env.getOrElse("SPARK_GRAFT_ROWS_PER_TASK", "8192").toLong
+      val rowsPerTask = sys.props.get("graft.rows.per.task")
+        .orElse(sys.env.get("SPARK_GRAFT_ROWS_PER_TASK")).getOrElse("8192").toLong
       def adaptiveParts(cap: Int): Int =
         math.max(1L, math.min(cap.toLong,
           (frontierCount + rowsPerTask - 1) / rowsPerTask)).toInt

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
 class CrawlSpec extends SparkSuite {
   import spark.implicits._
 
+  // pin fine-grained wave partitioning (pre-adaptive behavior) so the
+  // hot-host salting-spread assertion still sees >1 politeness partition
+  // at this small test scale; values are partitioning-independent
+  sys.props("graft.rows.per.task") = "256"
+
   private val cfg = Crawl.Config(scale = 200, limitPerSite = 50)
 
   private def orderKey(df: org.apache.spark.sql.DataFrame): Seq[String] =
