@@ -103,6 +103,80 @@ object Kernels {
       if (nOut == count) out else java.util.Arrays.copyOf(out, nOut))
   }
 
+  /** Stopword list of the quality gate — MUST stay in sync with
+    * `TextAnalysis.stopwords` and the q54/q92 oracle SQL (parity-pinned in
+    * DedupSimilaritySpec's kernel-vs-column test). */
+  private val qualityStopwords = {
+    val set = new java.util.HashSet[String]()
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+      .foreach(set.add)
+    set
+  }
+
+  /** Spark `round(x, 6)` for doubles: string-valued BigDecimal, HALF_UP —
+    * the exact RoundBase semantics (Scala BigDecimal(d) == valueOf(d)). */
+  private def round6(d: Double): Double =
+    if (d.isInfinite || d.isNaN) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /**
+   * One-pass quality-envelope gate — value-identical to the
+   * `TextAnalysis.qualityFeatures`-struct filter (token-count bounds,
+   * punct-ratio cap, stopword-ratio floor, mean-word-length band), which
+   * after SimplifyExtractValueOps decomposition re-tokenized the document
+   * TEN times per row in an interpreted (CodegenFallback HOF) filter.
+   * Semantics mirrored exactly: tokens = `filter(split(lower(text),
+   * '\s+'), len > 0)` with code-point lengths; punct = count of Java
+   * `[\p{Punct}]` chars of the RAW text; every ratio passes through
+   * Spark's `round(x, 6)` before comparison; zero tokens fails the
+   * mean-length floor clause (the CASE ... ELSE false branch).
+   */
+  def qualityGate(text: UTF8String, minTokens: Int, maxTokens: Int,
+      maxPunctRatio: Double, minStopwordRatio: Double,
+      minMeanWordLen: Double, maxMeanWordLen: Double): Boolean = {
+    val rawStr = text.toString
+    val lower = text.toLowerCase.toString
+    // tokenize once: maximal runs of non-[Java \s] chars of the LOWERED
+    // string (split("\\s+") + nonEmpty filter semantics)
+    var nTok = 0
+    var sumLen = 0L
+    var stop = 0
+    var i = 0
+    val L = lower.length
+    while (i < L) {
+      def isWs(c: Char): Boolean =
+        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (!isWs(lower.charAt(i))) {
+        val start = i
+        while (i < L && !isWs(lower.charAt(i))) i += 1
+        nTok += 1
+        sumLen += lower.codePointCount(start, i)
+        val tokLen = i - start
+        if (tokLen >= 1 && tokLen <= 4 &&
+            qualityStopwords.contains(lower.substring(start, i))) stop += 1
+      } else i += 1
+    }
+    if (nTok < minTokens || nTok > maxTokens || nTok == 0) return false
+    // punct count over the RAW text (ASCII [\p{Punct}]; single code units)
+    var punct = 0
+    var nChars = 0
+    i = 0
+    while (i < rawStr.length) {
+      val c = rawStr.charAt(i)
+      if ((c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+          (c >= '[' && c <= '`') || (c >= '{' && c <= '~')) punct += 1
+      if (!Character.isLowSurrogate(c)) nChars += 1
+      i += 1
+    }
+    val punctRatio = round6(punct.toDouble / math.max(nChars, 1).toDouble)
+    if (punctRatio > maxPunctRatio) return false
+    val stopRatio = round6(stop.toDouble / math.max(nTok, 1).toDouble)
+    if (stopRatio < minStopwordRatio) return false
+    val mean = round6(sumLen.toDouble / nTok.toDouble)
+    mean >= minMeanWordLen && mean <= maxMeanWordLen
+  }
+
   /**
    * Adjacent word n-grams as strings (all occurrences, document order):
    * value-identical to `transform(sequence(...), i -> concat_ws(' ',
@@ -746,6 +820,23 @@ object GraftFunctions {
       "wordNgrams",
       Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(n))),
       inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)))
+
+  /** One-pass quality-envelope gate (boolean) — value-identical to the
+    * qualityFeatures-struct predicate (see Kernels.qualityGate; parity
+    * spec in DedupSimilaritySpec). */
+  def quality_gate(text: Column, minTokens: Int, maxTokens: Int,
+      maxPunctRatio: Double, minStopwordRatio: Double,
+      minMeanWordLen: Double, maxMeanWordLen: Double): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.BooleanType, "qualityGate",
+      Seq(ColumnBridge.expression(text),
+        ColumnBridge.expression(lit(minTokens)), ColumnBridge.expression(lit(maxTokens)),
+        ColumnBridge.expression(lit(maxPunctRatio)), ColumnBridge.expression(lit(minStopwordRatio)),
+        ColumnBridge.expression(lit(minMeanWordLen)), ColumnBridge.expression(lit(maxMeanWordLen))),
+      inputTypes = Seq(StringType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.DoubleType,
+        org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.DoubleType)))
 
   /** Sliding-window chunk strings with stride (array<string>) —
     * linear-pass codegen'd kernel for overlapping context windows. */

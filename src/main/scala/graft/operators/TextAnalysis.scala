@@ -198,11 +198,24 @@ object TextAnalysis {
       df: DataFrame, textCol: String,
       minTokens: Int = 20, maxTokens: Int = 100000,
       maxPunctRatio: Double = 0.3, minStopwordRatio: Double = 0.02,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 5.0): DataFrame =
+    // one-pass codegen'd gate kernel: the struct-field formulation (kept
+    // below as the parity reference) decomposes under
+    // SimplifyExtractValueOps into TEN independent tokenizations per row
+    // inside an interpreted CodegenFallback filter — measured 3.0 s -> one
+    // linear pass at sf0.1 (q54); value parity pinned in
+    // DedupSimilaritySpec's kernel-vs-column test
+    df.filter(graft.functions.GraftFunctions.quality_gate(col(textCol),
+      minTokens, maxTokens, maxPunctRatio, minStopwordRatio,
+      minMeanWordLen, maxMeanWordLen))
+
+  /** The original struct-field formulation of [[qualityFilter]] — the
+    * parity REFERENCE for the one-pass gate kernel (spec-only). */
+  private[graft] def qualityFilterColumns(
+      df: DataFrame, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      maxPunctRatio: Double = 0.3, minStopwordRatio: Double = 0.02,
       minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 5.0): DataFrame = {
-    // filter on the struct expression directly (no temp column — a caller
-    // column of any name passes through untouched); Catalyst's common
-    // subexpression elimination shares the one struct computation across
-    // the field accesses
     val q = qualityFeatures(col(textCol))
     df.filter(q.getField("n_tokens").between(minTokens, maxTokens) &&
       q.getField("punct_ratio") <= maxPunctRatio &&

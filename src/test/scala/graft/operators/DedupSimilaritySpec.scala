@@ -205,10 +205,48 @@ class DedupSimilaritySpec extends SparkSuite {
     val expected = feats.filter(col("q.n_tokens").between(20, 100000) &&
       col("q.punct_ratio") <= 0.3 && col("q.stopword_ratio") >= 0.02 &&
       col("q.mean_word_len").between(2.0, 5.0))
-    assert(kept.count() === expected.count())
+    assert(kept.select("doc_id").as[Long].collect().toSet ===
+      expected.select("doc_id").as[Long].collect().toSet)
     assert(kept.count() > 0 && kept.count() < docs.count(),
       "the gate must actually discriminate on the fixture corpus")
     assert(kept.columns.toSeq === docs.columns.toSeq) // passthrough schema
+  }
+
+  test("quality-gate kernel is decision-identical to the struct-field filter") {
+    // adversarial inputs: threshold-exact ratios (mean len 2.0 / 5.0,
+    // punct 0.3, stopword 0.02), empty/whitespace/null text, non-ASCII
+    // and surrogate-pair tokens, mixed case, every whitespace class
+    val toks20 = (1 to 20).map(i => f"w$i%02d") // 20 tokens of len 3-4
+    val edge = Seq(
+      null.asInstanceOf[String], "", "   \t\n\f\r ",
+      "the " * 25,                               // stopwords only, len 3
+      ("ab " * 50).trim,                         // mean exactly 2.0
+      ("abcde " * 50).trim,                      // mean exactly 5.0
+      ("abcdef " * 50).trim,                     // mean 6.0 (fails)
+      "the " + ("ab.c " * 19).trim,              // punct near the cap
+      "The AND Of IS " + toks20.mkString(" "),   // case-folded stopwords
+      "the " + ("한글 " * 30).trim,               // non-ASCII lengths
+      "the " + ("a😀b " * 30).trim,    // surrogate pairs
+      "of " + (".. " * 10) + toks20.mkString(" "),
+      "the  a \t of\nand\rto  " + toks20.mkString("  "),
+      (toks20 ++ Seq("the")).mkString(" ") + " !!!")
+    val fuzz = (0 until 500).map { i =>
+      val r = new scala.util.Random(i)
+      (0 until (r.nextInt(40) + 1)).map { _ =>
+        val len = r.nextInt(7) + 1
+        val base = (0 until len).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+        val p = r.nextInt(10)
+        if (p == 0) "the" else if (p == 1) base + "." else base
+      }.mkString(" ")
+    }
+    val df = (edge ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaKernel = TextAnalysis.qualityFilter(df, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val viaColumns = TextAnalysis.qualityFilterColumns(df, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaKernel === viaColumns)
+    assert(viaKernel.nonEmpty)
   }
 
   test("simhash pairs are symmetric-free and within hamming bound") {
