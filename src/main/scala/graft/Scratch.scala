@@ -19,29 +19,33 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3fs (n=$n)")
     }
 
-    val body = concat(
-      lit("""{"code":"0","message":"ok","data":{"content":{"list":[{"seq":"""),
-      col("o_orderkey"),
-      lit(""","title":"T"""), col("o_orderstatus"),
-      lit("""","contents":"<p>c</p>","noticeYn":""""),
-      when(col("o_orderkey") % 2 === 0, lit("Y")).otherwise(lit("N")),
-      lit("""","regDt":""""), date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"),
-      lit(""""}]}}}"""))
-    def env = spark.read.parquet(s"$sfDir/orders.parquet")
-      .select(lit("startup.ssu.ac.kr").as("site_id"), body.as("body"))
-
-    import graft.operators.{Dedup, Similarity}
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    // q53 stage breakdown
-    time("q53.pairs")(Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4).count())
-    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
-    val t0 = System.nanoTime()
-    val clusters = Dedup.nearDupClusters(pairs)
-    println(f"[scratch] q53.clusters(loop): ${(System.nanoTime() - t0) / 1e9}%.3fs")
-    time("q53.antijoin")(Dedup.keepClusterRepresentatives(emb, "vec_id", clusters)
-      .select(col("vec_id")).count())
-    // full q53 again for comparison
-    time("q53 full")(SparkEntry.queries("q53_embedding_dedup")(spark, sfDir).count())
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[scratch] docs=${docs.count()}")
+    // q26 stage breakdown
+    val shPlan = docs.select(col("doc_id").as("id"), explode(
+      graft.functions.GraftFunctions.shingle_hash64(col("text"), 3)).as("shingle_h"))
+    time("q26.sh.count")(shPlan.count())
+    val sh = shPlan.localCheckpoint()
+    time("q26.sh.checkpoint.done")(1L)
+    val hot = sh.groupBy("shingle_h").count().filter(col("count") > 20).select("shingle_h")
+    time("q26.hot")(hot.count())
+    val filtered = sh.join(hot, Seq("shingle_h"), "left_anti")
+    time("q26.filtered")(filtered.count())
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col("id").as("a"), col("shingle_h"))
+    val b = filtered.select(col("id").as("b"), col("shingle_h"))
+    val inter = a.join(b, Seq("shingle_h")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    time("q26.inter")(inter.count())
+    val full = inter
+      .join(sizes.select(col("id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+    time("q26.full")(full.count())
+    time("q26.operator fresh")(graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.5, maxShingleFreq = 20L).count())
     spark.stop()
   }
 }

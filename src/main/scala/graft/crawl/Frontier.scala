@@ -65,7 +65,7 @@ final case class RankedRow(url: String, site_id: String, kind: String, page: Int
  * stream closed eagerly (Files.walk in try/finally — Files.list left open
  * leaks an fd per directory during the recursive delete).
  */
-private[crawl] object TempDirs {
+private[graft] object TempDirs {
   private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
   private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
     dirs.forEach { dir =>

@@ -103,6 +103,109 @@ object Kernels {
       if (nOut == count) out else java.util.Arrays.copyOf(out, nOut))
   }
 
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /**
+   * PQ subspace encoder: per subspace s, the index of the FIRST centroid
+   * minimizing the L2² distance to subvector s — bit-identical to the
+   * `zip_with(svs, cb, argmin over aggregate(zip_with((a-b)*(a-b))))`
+   * HOF chain (same left-to-right double accumulation, same first-min
+   * tie-break via exact equality), which interpreted m*ksub*dsub lambda
+   * frames per row. svs: array<array<double>>; cb:
+   * array<array<array<double>>>; returns array<int>.
+   */
+  def pqEncode(svs: ArrayData, cb: ArrayData): ArrayData = {
+    val m = svs.numElements()
+    val out = new Array[Int](m)
+    var s0 = 0
+    while (s0 < m) {
+      val sv = svs.getArray(s0)
+      val cents = cb.getArray(s0)
+      val dsub = sv.numElements()
+      val k = cents.numElements()
+      var best = Double.NaN
+      var bestIdx = 0
+      var c = 0
+      while (c < k) {
+        val cent = cents.getArray(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = sv.getDouble(i) - cent.getDouble(i)
+          acc += d * d
+          i += 1
+        }
+        // first strict improvement wins = array_position of array_min;
+        // Double.compare orders NaN largest, matching Spark's ordering
+        if (c == 0 || java.lang.Double.compare(acc, best) < 0) { best = acc; bestIdx = c }
+        c += 1
+      }
+      out(s0) = bestIdx
+      s0 += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Reconstructed squared norm of a PQ code: Σ_s Σ_d cb[s][code_s][d]²
+    * with the HOF chain's exact nesting (inner fold per subspace, outer
+    * fold over subspaces). */
+  def pqReconNorm2(codes: ArrayData, cb: ArrayData): Double = {
+    val m = codes.numElements()
+    var outer = 0.0
+    var s0 = 0
+    while (s0 < m) {
+      val cent = cb.getArray(s0).getArray(codes.getInt(s0))
+      var inner = 0.0
+      var i = 0
+      while (i < cent.numElements()) {
+        val x = cent.getDouble(i)
+        inner += x * x
+        i += 1
+      }
+      outer += inner
+      s0 += 1
+    }
+    outer
+  }
+
+  /** Per-query ADC dot tables: tab[s][c] = <qsv_s, cb[s][c]> with
+    * left-to-right accumulation — the zip_with/transform/aggregate chain
+    * as one pass. Returns array<array<double>>. */
+  def pqDotTables(qsvs: ArrayData, cb: ArrayData): ArrayData = {
+    val m = qsvs.numElements()
+    val out = new Array[ArrayData](m)
+    var s0 = 0
+    while (s0 < m) {
+      val sv = qsvs.getArray(s0)
+      val cents = cb.getArray(s0)
+      val dsub = sv.numElements()
+      val k = cents.numElements()
+      val tab = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = cents.getArray(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) { acc += sv.getDouble(i) * cent.getDouble(i); i += 1 }
+        tab(c) = acc
+        c += 1
+      }
+      out(s0) = new GenericArrayData(tab)
+      s0 += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  /** ADC score: Σ_s tabs[s][codes[s]] in subspace order (the
+    * aggregate(zip_with(element_at)) fold as one pass). */
+  def pqAdc(codes: ArrayData, tabs: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s0 = 0
+    while (s0 < m) { acc += tabs.getArray(s0).getDouble(codes.getInt(s0)); s0 += 1 }
+    acc
+  }
+
   /** Stopword list of the quality gate — MUST stay in sync with
     * `TextAnalysis.stopwords` and the q54/q92 oracle SQL (parity-pinned in
     * DedupSimilaritySpec's kernel-vs-column test). */
@@ -927,6 +1030,39 @@ object GraftFunctions {
       inputTypes = Seq(
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType)))
+
+  private val arrD = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.DoubleType)
+  private val arrArrD = org.apache.spark.sql.types.ArrayType(arrD)
+  private val arrArrArrD = org.apache.spark.sql.types.ArrayType(arrArrD)
+  private val arrI = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType)
+
+  /** PQ subspace codes (array<int>) — one-pass argmin kernel over
+    * (subvectors, codebook), HOF-chain value-identical. */
+  def pq_encode(svs: Column, cb: Column): Column = ColumnBridge.column(
+    StaticInvoke(K, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false), "pqEncode",
+      Seq(ColumnBridge.expression(svs), ColumnBridge.expression(cb)),
+      inputTypes = Seq(arrArrD, arrArrArrD)))
+
+  /** Reconstructed squared norm of PQ codes (double). */
+  def pq_recon_norm2(codes: Column, cb: Column): Column = ColumnBridge.column(
+    StaticInvoke(K, org.apache.spark.sql.types.DoubleType, "pqReconNorm2",
+      Seq(ColumnBridge.expression(codes), ColumnBridge.expression(cb)),
+      inputTypes = Seq(arrI, arrArrArrD)))
+
+  /** Per-query ADC dot tables (array<array<double>>). */
+  def pq_dot_tables(qsvs: Column, cb: Column): Column = ColumnBridge.column(
+    StaticInvoke(K, arrArrD, "pqDotTables",
+      Seq(ColumnBridge.expression(qsvs), ColumnBridge.expression(cb)),
+      inputTypes = Seq(arrArrD, arrArrArrD)))
+
+  /** ADC score Σ_s tabs[s][codes[s]] (double). */
+  def pq_adc(codes: Column, tabs: Column): Column = ColumnBridge.column(
+    StaticInvoke(K, org.apache.spark.sql.types.DoubleType, "pqAdc",
+      Seq(ColumnBridge.expression(codes), ColumnBridge.expression(tabs)),
+      inputTypes = Seq(arrI, arrArrD)))
 
   /** Cosine similarity over two array<double> columns (codegen'd static
     * kernel; callers pre-cast float embeddings ONCE, not per pair). */

@@ -87,11 +87,21 @@ object Dedup {
     // xxhash64 — 3-gram strings are 20-40 bytes, so hashing cuts the
     // dominant shuffle's bytes 3-5x (64-bit collisions are negligible
     // against per-document shingle sets).
+    // per-doc shingle-set size rides ON the exploded rows (one extra int
+    // per shuffle row): the former shape derived a 1-row-per-doc `sizes`
+    // table and equi-joined it back onto the PAIR table twice — at sf0.1
+    // that re-shuffled the 1.1M-row candidate pairs two more times (2.0 s
+    // of the 4.5 s pipeline); at web scale the pair table is the biggest
+    // frame in the job, so joining per-doc metadata onto it is exactly
+    // the "shuffle the heavy side again" anti-pattern (guide §2.3/§8 —
+    // attach the proxy before the heavy join, not after)
     val shPlan = df
-      .select(col(idCol).as("id"), explode(
-        graft.functions.GraftFunctions.shingle_hash64(col(textCol), n)).as("shingle_h"))
-    // staging on by default: four consumers read sh, and at cluster scale
-    // one materialization beats four corpus scans (A/B at sf0.1: within
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.shingle_hash64(col(textCol), n).as("_arr"))
+      .select(col("id"), size(col("_arr")).as("n_sh"),
+        explode(col("_arr")).as("shingle_h"))
+    // staging on by default: three consumers read sh, and at cluster scale
+    // one materialization beats three corpus scans (A/B at sf0.1: within
     // noise, 4.4 vs 4.6 s — the knob lets small corpora skip the barrier)
     val sh = if (sys.env.get("SPARK_GRAFT_Q26_STAGE").contains("0")) shPlan
              else shPlan.localCheckpoint()
@@ -102,14 +112,12 @@ object Dedup {
           .select("shingle_h")
         sh.join(hot, Seq("shingle_h"), "left_anti")
       }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select(col("id").as("a"), col("shingle_h"))
-    val b = filtered.select(col("id").as("b"), col("shingle_h"))
-    val inter = a.join(b, Seq("shingle_h")).filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(sizes.select(col("id").as("b"), col("n_sh").as("nb")), Seq("b"))
+    val a = filtered.select(col("id").as("a"), col("n_sh").as("na"), col("shingle_h"))
+    val b = filtered.select(col("id").as("b"), col("n_sh").as("nb"), col("shingle_h"))
+    // na/nb are functions of a/b, so the extra grouping keys leave the
+    // aggregate's group set unchanged
+    a.join(b, Seq("shingle_h")).filter(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -225,16 +233,23 @@ object Dedup {
     val hot = fps.groupBy("fp").count()
       .filter(col("count") > (if (maxFpFreq <= 0) Long.MaxValue else maxFpFreq))
       .select("fp")
+    // post-cut fingerprint count per doc rides ON the cut rows (windowed
+    // count over the doc — one exchange the self-join needs anyway keys
+    // differently, so a per-doc aggregate + pair-table joins would
+    // re-shuffle the PAIR table twice; the q26 treatment instead: attach
+    // the denominator to the rows before the heavy join). NOTE the
+    // denominator here is the post-df-cut count (unlike q26's pre-cut
+    // set size), so it is derived by a window over the cut table, not
+    // size() of the kernel array.
+    val w2 = Window.partitionBy("doc_id")
     val cut = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-      .localCheckpoint() // feeds the sizes AND both join sides
-    val sizes = cut.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-    val shared = cut.select(col("doc_id").as("a"), col("fp"))
-      .join(cut.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
+      .withColumn("nfp", count(lit(1)).over(w2))
+      .localCheckpoint() // feeds both self-join sides
+    val shared = cut.select(col("doc_id").as("a"), col("nfp").as("_na"), col("fp"))
+      .join(cut.select(col("doc_id").as("b"), col("nfp").as("_nb"), col("fp")), Seq("fp"))
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .groupBy("a", "b", "_na", "_nb").agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.select(col("doc_id").as("a"), col("nfp").as("_na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("nfp").as("_nb")), Seq("b"))
       .withColumn("overlap",
         col("shared").cast("double") / least(col("_na"), col("_nb")))
       .filter(col("overlap") >= threshold)

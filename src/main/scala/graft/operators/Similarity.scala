@@ -333,38 +333,35 @@ object Similarity {
     val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    // ---- train: one Lloyd loop over (subspace, subvector) rows from a
-    // bounded deterministic sample; only the m*ksub*dsub codebook ever
-    // reaches the driver ----
-    val sample = v.orderBy(xxhash64(col("_id")), col("_id")).limit(trainN)
-      .select(col("_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("_v"), s * dsub + 1, lit(dsub)))).as(Seq("_s", "_sv")))
-      .localCheckpoint()
-    // init: per subspace, the ksub hash-smallest sample subvectors
-    val initW = Window.partitionBy("_s").orderBy(xxhash64(col("_id")), col("_id"))
-    var codebook: Array[Array[Seq[Double]]] = Array.tabulate(m)(_ => Array.empty)
-    sample.withColumn("_r", row_number().over(initW)).filter(col("_r") <= ksub)
-      .orderBy("_s", "_r").collect()
-      .groupBy(_.getInt(1)).foreach { case (s, rows) =>
-        codebook(s) = rows.map(_.getSeq[Double](2)).toArray }
-    // keeps the broadcast `_cb` column — callers drop it once done with it
-    def withCodes(df: DataFrame, subvecs: Column): DataFrame =
-      df.crossJoin(broadcast(Seq(Tuple1(codebook.map(_.toSeq).toSeq)).toDF("_cb")))
-        // per subspace: argmin L2 distance to that subspace's centroids
-        .withColumn("_codes", zip_with(subvecs, col("_cb"), (sv, cents) => {
-          val dists = transform(cents, c =>
-            aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
-              lit(0.0), (acc, x) => acc + x))
-          (array_position(dists, array_min(dists)) - 1).cast("int")
-        }))
+    // ---- train: one Lloyd loop over a bounded deterministic sample held
+    // in SUBVECTOR-ARRAY form (one row per vector — no per-iteration
+    // collect_list regroup); only the m*ksub*dsub codebook ever reaches
+    // the driver ----
     val subvecsOf = (vc: Column) => transform(sequence(lit(0), lit(m - 1)),
       s => slice(vc, s * dsub + 1, lit(dsub)))
+    val sample = v.orderBy(xxhash64(col("_id")), col("_id")).limit(trainN)
+      .select(col("_id"), subvecsOf(col("_v")).as("_svs"))
+      .localCheckpoint()
+    // init: per subspace, the ksub hash-smallest sample subvectors — the
+    // hash order ignores the subspace, so the per-subspace rank window of
+    // the exploded form equals the global rank: one prefix, split by s
+    var codebook: Array[Array[Seq[Double]]] =
+      Array.tabulate(m)(_ => Array.empty)
+    val initRows = sample.orderBy(xxhash64(col("_id")), col("_id")).limit(ksub)
+      .select(col("_svs")).collect()
+    (0 until m).foreach { s =>
+      codebook(s) = initRows
+        .map(_.getSeq[scala.collection.Seq[Double]](0)(s).toSeq).toArray }
+    // per-row work runs in the one-pass PQ kernels (pq_encode /
+    // pq_recon_norm2 / pq_dot_tables / pq_adc) — bit-identical to the
+    // zip_with/transform/aggregate HOF chains they replaced (parity spec
+    // in DedupSimilaritySpec), which interpreted m*ksub*dsub lambda
+    // frames per row and held q68's whole budget
+    def withCodes(df: DataFrame, subvecs: Column): DataFrame =
+      df.crossJoin(broadcast(Seq(Tuple1(codebook.map(_.toSeq).toSeq)).toDF("_cb")))
+        .withColumn("_codes", GraftFunctions.pq_encode(subvecs, col("_cb")))
     (0 until iters).foreach { _ =>
-      val assigned = withCodes(
-        sample.groupBy("_id").agg(array_sort(collect_list(struct(col("_s"), col("_sv"))))
-          .as("_svs"))
-          .select(col("_id"), transform(col("_svs"), e => e.getField("_sv")).as("_svs")),
-        col("_svs"))
+      val assigned = withCodes(sample, col("_svs"))
         .select(posexplode(arrays_zip(col("_codes"), col("_svs"))).as(Seq("_s", "_z")))
         .select(col("_s"), col("_z._codes").as("_c"),
           posexplode(col("_z._svs")).as(Seq("_pos", "_x")))
@@ -381,10 +378,7 @@ object Similarity {
     }
     // ---- encode: codes + reconstructed squared norm per corpus vector ----
     val encoded = withCodes(v.withColumn("_svs", subvecsOf(col("_v"))), col("_svs"))
-      .withColumn("_rnorm2", aggregate(
-        zip_with(col("_codes"), col("_cb"), (code, cents) =>
-          aggregate(element_at(cents, code + 1), lit(0.0), (acc, x) => acc + x * x)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("_rnorm2", GraftFunctions.pq_recon_norm2(col("_codes"), col("_cb")))
       .select(col("_id").as("neighbor_id"), col("_codes"), col("_rnorm2"))
     // ---- serve: per-query dot tables, ADC scoring, approx top-rerank,
     // exact re-rank ----
@@ -392,18 +386,13 @@ object Similarity {
       col(vecCol).cast("array<double>").as("_qv"))
       .withColumn("_qsvs", subvecsOf(col("_qv")))
       .crossJoin(broadcast(Seq(Tuple1(codebook.map(_.toSeq).toSeq)).toDF("_cb")))
-      .withColumn("_tabs", zip_with(col("_qsvs"), col("_cb"), (qs, cents) =>
-        transform(cents, c => aggregate(zip_with(qs, c, (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x))))
+      .withColumn("_tabs", GraftFunctions.pq_dot_tables(col("_qsvs"), col("_cb")))
       .withColumn("_qnorm", sqrt(aggregate(col("_qv"), lit(0.0),
         (acc, x) => acc + x * x)))
       .select(col("query_id"), col("_qv"), col("_tabs"), col("_qnorm"))
     val adc = encoded.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("_dot", aggregate(
-        zip_with(col("_codes"), col("_tabs"),
-          (code, tab) => element_at(tab, code + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("_dot", GraftFunctions.pq_adc(col("_codes"), col("_tabs")))
       .withColumn("_approx", col("_dot") /
         greatest(col("_qnorm") * sqrt(col("_rnorm2")), lit(1e-12)))
     val wa = Window.partitionBy("query_id").orderBy(col("_approx").desc, col("neighbor_id"))

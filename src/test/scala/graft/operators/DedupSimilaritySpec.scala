@@ -249,6 +249,60 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(viaKernel.nonEmpty)
   }
 
+  test("PQ kernels are value-identical to the HOF column chains") {
+    import graft.functions.GraftFunctions
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val m = 8
+    val dsub = dim / m
+    // codebook: 16 centroids per subspace from the first corpus vectors
+    val cbRows = emb.orderBy("vec_id").limit(16)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0))
+    val codebook: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      cbRows.toSeq.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    val subvecsOf = (vc: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0), lit(m - 1)), s => slice(vc, s * dsub + 1, lit(dsub)))
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("_v"))
+      .withColumn("_svs", subvecsOf(col("_v")))
+      .crossJoin(broadcast(Seq(Tuple1(codebook)).toDF("_cb")))
+    // HOF reference formulations (the pre-kernel shapes)
+    val ref = base
+      .withColumn("_codes", zip_with(col("_svs"), col("_cb"), (sv, cents) => {
+        val dists = transform(cents, c =>
+          aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }))
+      .withColumn("_rnorm2", aggregate(
+        zip_with(col("_codes"), col("_cb"), (code, cents) =>
+          aggregate(element_at(cents, code + 1), lit(0.0), (acc, x) => acc + x * x)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("_tabs", zip_with(col("_svs"), col("_cb"), (qs, cents) =>
+        transform(cents, c => aggregate(zip_with(qs, c, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))))
+      .withColumn("_dot", aggregate(
+        zip_with(col("_codes"), col("_tabs"),
+          (code, tab) => element_at(tab, code + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .select("vec_id", "_codes", "_rnorm2", "_tabs", "_dot")
+    val ker = base
+      .withColumn("_codes", GraftFunctions.pq_encode(col("_svs"), col("_cb")))
+      .withColumn("_rnorm2", GraftFunctions.pq_recon_norm2(col("_codes"), col("_cb")))
+      .withColumn("_tabs", GraftFunctions.pq_dot_tables(col("_svs"), col("_cb")))
+      .withColumn("_dot", GraftFunctions.pq_adc(col("_codes"), col("_tabs")))
+      .select("vec_id", "_codes", "_rnorm2", "_tabs", "_dot")
+    val r = ref.orderBy("vec_id").collect()
+    val k2 = ker.orderBy("vec_id").collect()
+    assert(r.length === k2.length && r.nonEmpty)
+    r.zip(k2).foreach { case (a, b) =>
+      assert(a.getSeq[Int](1) === b.getSeq[Int](1), s"codes differ at ${a.get(0)}")
+      assert(a.getDouble(2) === b.getDouble(2), s"rnorm2 differs at ${a.get(0)}")
+      assert(a.getSeq[Seq[Double]](3) === b.getSeq[Seq[Double]](3),
+        s"tabs differ at ${a.get(0)}")
+      assert(a.getDouble(4) === b.getDouble(4), s"adc differs at ${a.get(0)}")
+    }
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
     pairs.foreach { r =>
