@@ -644,6 +644,79 @@ object Kernels {
       if (nOut == n) out else java.util.Arrays.copyOf(out, nOut))
   }
 
+  /**
+   * Full BPE re-segmentation of a document in ONE pass: tokenize
+   * (lowercase whitespace split — the `Dedup.tokens` semantics), split
+   * each word into code-point symbols + `</w>`, replay the merge list in
+   * rank order with [[bpeMergeStep]]'s exact non-overlapping
+   * left-to-right semantics, and flatten — value-identical to the
+   * `transform(tokens, …)` + `numMerges` nested `transform(acc,
+   * bpe_merge_step)` + `flatten` HOF chain (parity spec in BpeSpec),
+   * which interpreted every lambda frame per word per merge.
+   */
+  def bpeSegment(text: UTF8String,
+      ls: org.apache.spark.sql.catalyst.util.ArrayData,
+      rs: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lower = text.toLowerCase.toString
+    val nMerges = ls.numElements()
+    val mL = new Array[String](nMerges)
+    val mR = new Array[String](nMerges)
+    var k = 0
+    while (k < nMerges) {
+      mL(k) = ls.getUTF8String(k).toString
+      mR(k) = rs.getUTF8String(k).toString
+      k += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var syms = new Array[String](16)
+    var i = 0
+    val L = lower.length
+    while (i < L) {
+      def isWs(c: Char): Boolean =
+        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (isWs(lower.charAt(i))) i += 1
+      else {
+        val start = i
+        while (i < L && !isWs(lower.charAt(i))) i += 1
+        // code-point symbols + </w>
+        var n = 0
+        var p = start
+        while (p < i) {
+          val cp = lower.codePointAt(p)
+          val w = Character.charCount(cp)
+          if (n == syms.length) syms = java.util.Arrays.copyOf(syms, n * 2)
+          syms(n) = lower.substring(p, p + w)
+          n += 1
+          p += w
+        }
+        if (n == syms.length) syms = java.util.Arrays.copyOf(syms, n * 2)
+        syms(n) = "</w>"
+        n += 1
+        // replay merges in rank order, non-overlapping left-to-right
+        k = 0
+        while (k < nMerges) {
+          val l = mL(k); val r = mR(k)
+          var src = 0
+          var dst = 0
+          while (src < n) {
+            if (src < n - 1 && syms(src) == l && syms(src + 1) == r) {
+              syms(dst) = l + r; src += 2
+            } else {
+              syms(dst) = syms(src); src += 1
+            }
+            dst += 1
+          }
+          n = dst
+          k += 1
+        }
+        var j = 0
+        while (j < n) { out += UTF8String.fromString(syms(j)); j += 1 }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** splitmix64 finalizer — cheap full-avalanche 64-bit mixer. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -992,6 +1065,20 @@ object GraftFunctions {
       org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
       "bpePairs", Seq(ColumnBridge.expression(syms)),
       inputTypes = Seq(org.apache.spark.sql.types.ArrayType(StringType))))
+
+  /** Full BPE re-segmentation (tokenize -> char symbols + </w> -> replay
+    * merges in rank order -> flatten) as ONE kernel pass — value-identical
+    * to the nested transform(bpe_merge_step) HOF chain (BpeSpec parity). */
+  def bpe_segment(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+      "bpeSegment",
+      Seq(ColumnBridge.expression(text),
+        ColumnBridge.expression(lit(merges.map(_._1).toArray)),
+        ColumnBridge.expression(lit(merges.map(_._2).toArray))),
+      inputTypes = Seq(StringType,
+        org.apache.spark.sql.types.ArrayType(StringType),
+        org.apache.spark.sql.types.ArrayType(StringType))))
 
   /** One BPE merge (l, r) -> l+r applied non-overlapping left-to-right
     * over an array<string> symbol column — codegen'd kernel. */

@@ -85,6 +85,37 @@ class BpeSpec extends SparkSuite {
     assert(out(2L) === seg("qqq"))
   }
 
+  test("bpe_segment kernel is value-identical to the nested-transform chain") {
+    val wc = corpus.toSeq.toDF("word", "n")
+    val merges = Bpe.learnMerges(wc, 8).orderBy("rank")
+      .select("left", "right").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val docs = (Seq(
+      (1L, "newest low NEWest\tlower\nslow"), (2L, ""), (3L, "  \t \n "),
+      (4L, "한글 text a😀b"), (5L, "qqq zz q"),
+      (6L, "the lowest newest widest slowest")) ++
+      (0 until 200).map { i =>
+        val r = new scala.util.Random(i)
+        (100L + i, (0 until r.nextInt(30)).map(_ =>
+          (0 until r.nextInt(8) + 1).map(_ => ('a' + r.nextInt(5)).toChar).mkString)
+          .mkString(" "))
+      }).toDF("doc_id", "text")
+    val viaKernel = Bpe.applyMerges(docs, "text", merges)
+      .select("doc_id", "subwords").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaColumns = Bpe.applyMergesColumns(docs, "text", merges)
+      .select("doc_id", "subwords").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaKernel === viaColumns)
+    // zero-merge edge: segmentation is the raw char symbols
+    val noMerge = Bpe.applyMerges(docs, "text", Seq.empty)
+      .select("doc_id", "subwords").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val noMergeRef = Bpe.applyMergesColumns(docs, "text", Seq.empty)
+      .select("doc_id", "subwords").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(noMerge === noMergeRef)
+  }
+
   test("learnMerges stops early when no pairs remain") {
     val wc = Seq(("a", 3L)).toDF("word", "n") // "a</w>" has one pair only
     val got = Bpe.learnMerges(wc, 10).collect()
