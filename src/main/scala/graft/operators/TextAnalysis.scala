@@ -178,10 +178,13 @@ object TextAnalysis {
     val grams = df.select(col(idCol),
         explode(graft.functions.GraftFunctions.word_ngrams(col(textCol), 2)).as("g"))
       .select(col(idCol), xxhash64(col("g")).as("gh"))
-      .localCheckpoint() // grams feed BOTH the count table and the score join
-    val counts = grams.groupBy("gh").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum("c").as("total"))
-    grams.join(counts, Seq("gh"))
+      .localCheckpoint() // grams feed BOTH the total and the scored pass
+    // corpus gram count per gh as a COUNT WINDOW over the staged gram
+    // table (one gh-keyed exchange; the former groupBy + equi-join
+    // re-shuffled the full gram table twice — the q63 treatment), and the
+    // total is |grams| directly (Σ_gh count(gh) == row count)
+    val total = grams.agg(count(lit(1)).as("total"))
+    grams.withColumn("c", count(lit(1)).over(Window.partitionBy("gh")))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(round(avg(log(col("c").cast("double") / col("total"))), 6).as("lm_score"))
@@ -424,9 +427,14 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency as a COUNT WINDOW over the staged (doc, term)
+    // table: tf holds one row per (doc, term), so count(*) per term IS df
+    // — one term-keyed exchange where the former groupBy + equi-join
+    // re-shuffled the full tf table twice (guide §2.4: two operations
+    // keyed the same way share one exchange)
+    val wDf = Window.partitionBy("term")
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(dfx, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .withColumn("score", expr("tf * 1000000 div df"))
       .withColumn("term_rank", row_number().over(w).cast("long"))
       .filter(col("term_rank") <= k)
