@@ -26,7 +26,8 @@ object Bpe {
 
   /** Word-type table (word, n) of a corpus — whitespace/lowercase. */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(Dedup.tokens(col(textCol))).as("word"))
+    // kernel tokenization (word 1-grams == tokens; TextAnalysis.tokensK)
+    df.select(explode(K.word_ngrams(col(textCol), 1)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
 
   /**

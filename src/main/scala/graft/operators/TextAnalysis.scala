@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** Lowercase whitespace tokens via the linear-pass kernel: word
+    * 1-grams ARE the tokens, so `word_ngrams(text, 1)` is value-identical
+    * to `filter(split(lower(text), "\\s+"), len > 0)` (parity-pinned in
+    * DedupSimilaritySpec) — and stays in whole-stage codegen where the
+    * HOF chain is interpreted CodegenFallback per row. */
+  private[graft] def tokensK(text: Column): Column =
+    graft.functions.GraftFunctions.word_ngrams(text, 1)
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(Dedup.tokens(text))
+  def tokenCount(text: Column): Column = size(tokensK(text))
 
   /** BPE-ish subword count estimate: word-pieces + digits + punctuation runs. */
   def subwordCount(text: Column): Column =
@@ -85,7 +93,7 @@ object TextAnalysis {
    */
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
       minDf: Long = 2L): DataFrame =
-    df.select(col(idCol).as("_doc"), explode(Dedup.tokens(col(textCol))).as("token"))
+    df.select(col(idCol).as("_doc"), explode(tokensK(col(textCol))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), countDistinct(col("_doc")).as("df"))
       .filter(col("df") >= minDf)
@@ -119,7 +127,7 @@ object TextAnalysis {
    */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame =
-    df.select(col(idCol).as("_doc"), explode(Dedup.tokens(col(textCol))).as("term"))
+    df.select(col(idCol).as("_doc"), explode(tokensK(col(textCol))).as("term"))
       .distinct()
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
@@ -137,7 +145,7 @@ object TextAnalysis {
    */
   def pmiCollocations(df: DataFrame, textCol: String,
       minCount: Long = 5L): DataFrame = {
-    val uni = df.select(explode(Dedup.tokens(col(textCol))).as("w"))
+    val uni = df.select(explode(tokensK(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
       .localCheckpoint() // feeds the total AND two join probes
     val nUni = uni.agg(sum("cw").as("n_uni"))
@@ -349,8 +357,8 @@ object TextAnalysis {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val terms = queryTerms.distinct.sorted
     val base = df.select(col(idCol).as("doc_id"),
-        size(Dedup.tokens(col(textCol))).as("dl"),
-        filter(Dedup.tokens(col(textCol)), t => t.isInCollection(terms)).as("_qt"))
+        size(tokensK(col(textCol))).as("dl"),
+        filter(tokensK(col(textCol)), t => t.isInCollection(terms)).as("_qt"))
       .localCheckpoint() // feeds corpus stats AND the tf explode
     val tf = base.select(col("doc_id"), col("dl"), explode(col("_qt")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
@@ -411,7 +419,7 @@ object TextAnalysis {
       (((col("id") * lit(2654435761L)) % lit(1000003L)) % lit(2001L) - lit(1000L))
         .as("w")))
     df.select(col(idCol).as("doc_id"),
-        explode(Dedup.tokens(col(textCol))).as("token"))
+        explode(tokensK(col(textCol))).as("token"))
       .select(col("doc_id"), substring(md5(col("token")), 1, hexChars).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
       .join(weights, Seq("bucket"))
@@ -424,7 +432,7 @@ object TextAnalysis {
       k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val tf = df
-      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .select(col(idCol).as("doc_id"), explode(tokensK(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     // document frequency as a COUNT WINDOW over the staged (doc, term)

@@ -49,6 +49,19 @@ class DedupSimilaritySpec extends SparkSuite {
       "FROM shingle_docs").as[Int].collect().forall(_ == 16))
   }
 
+  test("word 1-grams are exactly the whitespace tokens (tokensK parity)") {
+    val texts = docs.select("text").as[String].take(100).toSeq ++ Seq(
+      null, "", "   \t\n\f\r ", "  leading and   multi space  ",
+      "한국어 토큰 혼합 English words here", "MiXeD CaSe TEXT", "a😀b c",
+      "one", "one two three")
+    val df = texts.toDF("text")
+    val viaColumns = df.select(Dedup.tokens(col("text")).as("t"))
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toList)).toSeq
+    val viaKernel = df.select(TextAnalysis.tokensK(col("text")).as("t"))
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toList)).toSeq
+    assert(viaKernel === viaColumns)
+  }
+
   test("winnow_fps kernel is value-identical to the gram/md5/window-min column formulation") {
     val texts = docs.select("text").as[String].take(50).toSeq ++ Seq(
       "  leading and   multi space", "한국어 토큰 혼합 English words here",
