@@ -522,9 +522,6 @@ object SparkEntry {
     "q58_streaming_sessions" -> { (s, dir) =>
       import s.implicits._
       import graft.streaming.{SessEvent, StreamingSessions}
-      val slice = t(s, dir, "events").orderBy("ts", "event_id").limit(200)
-        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
-          col("event_id"), col("value")).as[SessEvent].collect()
       val tmp = scratchDir("graft-ssess-q")
       // one parquet dir per intended micro-batch; mtimes staggered so the
       // file source's (timestamp, path) order replays chronologically
@@ -534,11 +531,35 @@ object SparkEntry {
         try walk.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t))
         finally walk.close()
       }
-      slice.grouped(67).zipWithIndex.foreach { case (c, i) =>
-        s.createDataset(c.toIndexedSeq).repartition(1)
-          .write.parquet(s"$tmp/in/b$i.parquet")
-        stamp(s"$tmp/in/b$i.parquet", i) }
-      val lastMs = slice.map(_.ts.getTime).max
+      // the slice never reaches the driver (the q88 pattern): chunk
+      // membership comes from the chronological rank, ONE distributed
+      // partitioned write emits every micro-batch dir, then the dirs are
+      // renamed into the watched layout and mtime-stamped. In-file row
+      // order is irrelevant to the event-time session semantics — only
+      // trigger MEMBERSHIP matters, and rank-chunking reproduces the
+      // previous grouped(67) slicing exactly ((ts, event_id) is unique).
+      val slice = t(s, dir, "events").orderBy("ts", "event_id").limit(200)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("value"))
+      val wOrd = Window.orderBy("ts", "event_id")
+      slice
+        .withColumn("_b", floor((row_number().over(wOrd) - 1) / lit(67)).cast("long"))
+        .write.partitionBy("_b").parquet(s"$tmp/stage")
+      val stage58 = java.nio.file.Paths.get(s"$tmp/stage")
+      val in58 = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/in"))
+      val parts58 = java.nio.file.Files.list(stage58)
+      val nChunks58 = try {
+        var k = 0
+        parts58.filter(p => p.getFileName.toString.startsWith("_b=")).forEach { p =>
+          val i = p.getFileName.toString.stripPrefix("_b=").toInt
+          java.nio.file.Files.move(p, in58.resolve(s"b$i.parquet"))
+          k = math.max(k, i + 1)
+        }
+        k
+      } finally parts58.close()
+      (0 until nChunks58).foreach(i => stamp(s"$tmp/in/b$i.parquet", i))
+      val lastMs = slice.agg(max(col("ts"))).head().getTimestamp(0).getTime
       (0 until 2).foreach { k =>
         s.createDataset(Seq(SessEvent(-1L,
           new Timestamp(lastMs + (k + 1) * 7200L * 1000L), 0L, 0.0)))
