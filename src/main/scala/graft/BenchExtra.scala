@@ -37,7 +37,9 @@ object BenchExtra {
         if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[extra] $name min=${times.min}%.3f med=${times.sorted.apply(times.size / 2)}%.3f all=${times.map(t => f"$t%.2f").mkString(",")}")
+      // lower-middle median: even repeat counts must not report the
+      // upper-middle (biased toward the slow tail on this noisy host)
+      println(f"[extra] $name min=${times.min}%.3f med=${times.sorted.apply((times.size - 1) / 2)}%.3f all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

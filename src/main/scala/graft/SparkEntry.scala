@@ -559,7 +559,11 @@ object SparkEntry {
         k
       } finally parts58.close()
       (0 until nChunks58).foreach(i => stamp(s"$tmp/in/b$i.parquet", i))
-      val lastMs = slice.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      // sentinel horizon from the 200-row STAGED slice (re-running the
+      // slice plan would sort the events table a second time)
+      val lastMs = s.read.parquet(
+          (0 until nChunks58).map(i => s"$tmp/in/b$i.parquet"): _*)
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
       (0 until 2).foreach { k =>
         s.createDataset(Seq(SessEvent(-1L,
           new Timestamp(lastMs + (k + 1) * 7200L * 1000L), 0L, 0.0)))

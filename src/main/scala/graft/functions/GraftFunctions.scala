@@ -232,8 +232,9 @@ object Kernels {
    * Semantics mirrored exactly: tokens = `filter(split(lower(text),
    * '\s+'), len > 0)` with code-point lengths; punct = count of Java
    * `[\p{Punct}]` chars of the RAW text; every ratio passes through
-   * Spark's `round(x, 6)` before comparison; zero tokens fails the
-   * mean-length floor clause (the CASE ... ELSE false branch).
+   * Spark's `round(x, 6)` before comparison; zero tokens carry
+   * mean_word_len = 0.0 exactly like the reference struct (failing the
+   * default 2.0 floor, but admissible under a permissive floor <= 0).
    */
   def qualityGate(text: UTF8String, minTokens: Int, maxTokens: Int,
       maxPunctRatio: Double, minStopwordRatio: Double,
@@ -260,7 +261,7 @@ object Kernels {
             qualityStopwords.contains(lower.substring(start, i))) stop += 1
       } else i += 1
     }
-    if (nTok < minTokens || nTok > maxTokens || nTok == 0) return false
+    if (nTok < minTokens || nTok > maxTokens) return false
     // punct count over the RAW text (ASCII [\p{Punct}]; single code units)
     var punct = 0
     var nChars = 0
@@ -276,7 +277,11 @@ object Kernels {
     if (punctRatio > maxPunctRatio) return false
     val stopRatio = round6(stop.toDouble / math.max(nTok, 1).toDouble)
     if (stopRatio < minStopwordRatio) return false
-    val mean = round6(sumLen.toDouble / nTok.toDouble)
+    // zero tokens: the reference struct computes mean_word_len = 0.0 (the
+    // when(nTok > 0, …).otherwise(0.0) branch), so a permissive
+    // minMeanWordLen <= 0 admits empty documents — mirror that exactly
+    // rather than short-circuiting on nTok == 0
+    val mean = if (nTok > 0) round6(sumLen.toDouble / nTok.toDouble) else 0.0
     mean >= minMeanWordLen && mean <= maxMeanWordLen
   }
 

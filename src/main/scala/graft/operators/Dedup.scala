@@ -339,8 +339,13 @@ object Dedup {
       val spark = pairs.sparkSession
       import spark.implicits._
       val idType = edges.schema("u").dataType
-      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val rows = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .collect()
+      // malformed input (null ids) takes the distributed loop below rather
+      // than NPE-ing the driver path — the detectors never emit nulls, but
+      // the operator is public API
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+      val es = rows.map(r => (r.getLong(0), r.getLong(1)))
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -360,6 +365,7 @@ object Dedup {
       val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
       return nodes.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster")
         .select(col("id").cast(idType), col("cluster").cast(idType))
+      }
     }
     // init = round 1 folded into one aggregation: with labels initialized
     // to the node id, the first neighbor-min round computes exactly

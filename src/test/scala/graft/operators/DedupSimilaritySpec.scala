@@ -260,6 +260,17 @@ class DedupSimilaritySpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(viaKernel === viaColumns)
     assert(viaKernel.nonEmpty)
+    // permissive thresholds: zero-token documents carry mean_word_len 0.0
+    // in the reference struct and must be ADMITTED when every floor is 0
+    val loose = (d: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.qualityFilter(d, "text", minTokens = 0,
+        minStopwordRatio = 0.0, minMeanWordLen = 0.0)
+    val looseRef = (d: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.qualityFilterColumns(d, "text", minTokens = 0,
+        minStopwordRatio = 0.0, minMeanWordLen = 0.0)
+    assert(loose(df).select("doc_id").as[Long].collect().toSet ===
+      looseRef(df).select("doc_id").as[Long].collect().toSet)
+    assert(loose(Seq((0L, "")).toDF("doc_id", "text")).count() === 1L)
   }
 
   test("PQ kernels are value-identical to the HOF column chains") {
