@@ -335,6 +335,55 @@ object Kernels {
   }
 
   /**
+   * One-pass per-document repetition stats `[n_tokens, n_distinct, top_c,
+   * n_bigrams, n_distinct_bi]` over whitespace-tokenized lowercase text —
+   * value-identical to exploding `tokens` / `word_ngrams(2)` and
+   * re-aggregating by doc id (distinctness compares UTF-8 bytes, exactly
+   * the exploded groupBy's UTF8String equality), but computed within the
+   * row: the stats are per-document, so the explode → two keyed
+   * aggregations → join shape paid four exchanges for counts a linear
+   * scan of the row produces directly.
+   */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (text == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Long](0L, 0L, 0L, 0L, 0L))
+    val raw = text.toLowerCase.toString.split("\\s+")
+    var m = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) m += 1; i += 1 }
+    val toks = new Array[String](m)
+    i = 0; var j = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) { toks(j) = raw(i); j += 1 }; i += 1 }
+    // UTF8String keys: byte-domain equality, matching the exploded
+    // groupBy (Java String equality differs on unpaired surrogates)
+    val tokCounts = new java.util.HashMap[UTF8String, Long](m * 2)
+    var topC = 0L
+    i = 0
+    while (i < m) {
+      val k = UTF8String.fromString(toks(i))
+      val c = tokCounts.getOrDefault(k, 0L) + 1L
+      tokCounts.put(k, c)
+      if (c > topC) topC = c
+      i += 1
+    }
+    var nBi = 0L
+    var nDistinctBi = 0L
+    if (m >= 2) {
+      val biSet = new java.util.HashSet[UTF8String](m * 2)
+      i = 0
+      while (i < m - 1) {
+        biSet.add(UTF8String.fromString(toks(i) + " " + toks(i + 1)))
+        i += 1
+      }
+      nBi = (m - 1).toLong
+      nDistinctBi = biSet.size.toLong
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](m.toLong, tokCounts.size.toLong, topC, nBi, nDistinctBi))
+  }
+
+  /**
    * Winnowing fingerprints (Schleimer et al. 2003) in ONE linear pass:
    * value-identical to
    * `array_distinct(transform(sequence(1, greatest(m-w+1, 1)), j ->
@@ -1001,6 +1050,18 @@ object GraftFunctions {
       "wordNgrams",
       Seq(ColumnBridge.expression(text), ColumnBridge.expression(lit(n))),
       inputTypes = Seq(StringType, org.apache.spark.sql.types.IntegerType)))
+
+  /** One-pass per-document repetition stats `[n_tokens, n_distinct, top_c,
+    * n_bigrams, n_distinct_bi]` (array<bigint>) — codegen'd kernel,
+    * value-identical to the exploded tokens / word_ngrams(2) aggregations
+    * (see Kernels.repetitionStats; parity spec in SpanDedupPiiSpec). */
+  def repetition_stats(text: Column): Column =
+    ColumnBridge.column(StaticInvoke(K,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      "repetitionStats",
+      Seq(ColumnBridge.expression(text)),
+      inputTypes = Seq(StringType)))
 
   /** One-pass quality-envelope gate (boolean) — value-identical to the
     * qualityFeatures-struct predicate (see Kernels.qualityGate; parity

@@ -257,14 +257,41 @@ object TextAnalysis {
    * (Rae et al. 2021 §A.1.1 run these at line/paragraph/n-gram grain;
    * the corpus here is single-line, so the token/bigram grain applies).
    *
-   * Scale: explode -> aggregate keyed by (doc_id, token) with map-side
-   * partial combine, then a per-doc rollup — both exchanges are keyed by
-   * doc_id-led keys, so AQE coalesces them onto one partitioning; nothing
-   * is quadratic in document length (the naive per-row HOF mode
-   * computation is O(len·distinct) per row — fine at 100 tokens, wrong
-   * at 100 k-token documents).
+   * Scale: all five stats are per-document, so the kernel computes them
+   * in one linear pass WITHIN the row (hash map over the row's tokens) —
+   * zero exchanges at any corpus size; nothing is quadratic in document
+   * length (the naive per-row HOF mode computation is O(len·distinct)
+   * per row — fine at 100 tokens, wrong at 100 k-token documents).
    */
   def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Every stat is per-document, so nothing here needs an exchange: the
+    // one-pass repetition_stats kernel computes [n_tokens, n_distinct,
+    // top_c, n_bigrams, n_distinct_bi] within the row (byte-domain token
+    // equality, identical to the exploded groupBy it replaces — parity
+    // spec in SpanDedupPiiSpec; the old four-exchange shape is kept below
+    // as repetitionFeaturesColumns). The explode(array(..)) generate is
+    // the single-evaluation barrier: extracting five fields from a bare
+    // projection would let CollapseProject inline the kernel per field
+    // (the qualityFilter lesson), while a filter referencing the generate
+    // OUTPUT cannot be pushed back under it (the q39 lesson). Zero-token
+    // documents drop exactly like the old explode did.
+    val stats = df.select(col(idCol).as("doc_id"),
+      explode(array(graft.functions.GraftFunctions.repetition_stats(col(textCol)))).as("_s"))
+      .filter(col("_s").getItem(0) > 0L)
+    stats.select(col("doc_id"),
+      col("_s").getItem(0).as("n_tokens"),
+      round((col("_s").getItem(0) - col("_s").getItem(1)).cast("double") /
+        greatest(col("_s").getItem(0), lit(1L)), 6).as("dup_token_frac"),
+      round(col("_s").getItem(2).cast("double") /
+        greatest(col("_s").getItem(0), lit(1L)), 6).as("top_token_frac"),
+      round((col("_s").getItem(3) - col("_s").getItem(4)).cast("double") /
+        greatest(col("_s").getItem(3), lit(1L)), 6).as("dup_bigram_frac"))
+  }
+
+  /** The pre-kernel four-exchange formulation of [[repetitionFeatures]]
+    * (explode → keyed aggregations → join), kept as the parity reference. */
+  private[graft] def repetitionFeaturesColumns(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
     val base = df.select(col(idCol).as("doc_id"), toks.as("_toks"))
     val tokStats = base

@@ -67,6 +67,30 @@ class SpanDedupPiiSpec extends SparkSuite {
     assert(out(1) === ((2L, 1L, 0.0, 1.0, 0.0)))
   }
 
+  test("repetitionFeatures kernel is value-identical to the exploded-aggregation shape") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edges = Seq(
+      (9001L, null), (9002L, ""), (9003L, "   \t\n\f\r "),
+      (9004L, "one"), (9005L, "one two"), (9006L, "a a a a a"),
+      (9007L, "  leading and   multi space  "),
+      (9008L, "한국어 토큰 혼합 English words here 한국어 토큰"),
+      (9009L, "MiXeD CaSe mixed case TEXT text"),
+      (9010L, "a😀b c a😀b c"))
+      .toDF("doc_id", "text")
+    val df = corpus.unionByName(edges)
+    def rows(out: org.apache.spark.sql.DataFrame) = out
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val viaKernel = rows(TextAnalysis.repetitionFeatures(df, "doc_id", "text"))
+    val viaColumns = rows(TextAnalysis.repetitionFeaturesColumns(df, "doc_id", "text"))
+    assert(viaKernel === viaColumns)
+    // zero-token docs (null / empty / all-whitespace) drop in both shapes
+    assert(!viaKernel.contains(9001L) && !viaKernel.contains(9002L) &&
+      !viaKernel.contains(9003L))
+    assert(viaKernel.contains(9004L))
+  }
+
   test("repetitionFilter keeps clean docs, drops degenerate ones, preserves columns") {
     val docs = Seq(
       (1L, "spam spam spam spam spam", "m"),
