@@ -112,8 +112,17 @@ object Dedup {
           .select("shingle_h")
         sh.join(hot, Seq("shingle_h"), "left_anti")
       }
-    val a = filtered.select(col("id").as("a"), col("n_sh").as("na"), col("shingle_h"))
-    val b = filtered.select(col("id").as("b"), col("n_sh").as("nb"), col("shingle_h"))
+    // ONE exchange feeds both self-join sides: partitioning by shingle_h
+    // BEFORE the aliasing projections leaves hashpartitioning(shingle_h)
+    // intact on each side (Project preserves the passed-through key), so
+    // the join plans zero additional exchanges and the second side reads
+    // the first side's shuffle as a ReusedExchange — the aliased-sides
+    // shape exchanged the same filtered table twice and re-ran the df-cut
+    // anti-join probe per side (guide §2.4: two operations keyed the same
+    // way share one exchange).
+    val parted = filtered.repartition(col("shingle_h"))
+    val a = parted.select(col("id").as("a"), col("n_sh").as("na"), col("shingle_h"))
+    val b = parted.select(col("id").as("b"), col("n_sh").as("nb"), col("shingle_h"))
     // na/nb are functions of a/b, so the extra grouping keys leave the
     // aggregate's group set unchanged
     a.join(b, Seq("shingle_h")).filter(col("a") < col("b"))
