@@ -466,7 +466,6 @@ object Crawl {
         (if (saltedWrite)
           scheduled.repartition(writeParts, col("host_hash"), col("salt"))
         else scheduled)
-          .withColumn("wave", lit(wave))
           .withColumn("partition_id", spark_partition_id())
           .write.mode("overwrite")
           // wave files are transient single-reader stage-out; pinned A/B at
@@ -481,7 +480,17 @@ object Crawl {
           // parquet keeps the parquet defaults
           .option("parquet.enable.dictionary",
             sys.env.getOrElse("SPARK_GRAFT_WAVE_DICT", "false"))
-          .parquet(wavePath)
+          // hive-style wave=N leaf dir: the wave number rides as a
+          // PARTITION column on read-back instead of a `lit(wave)` in the
+          // write projection — an int literal is inlined into the
+          // generated code, so every wave used to Janino-compile a fresh
+          // write-stage class (same machine code, different constant);
+          // with the constant in the directory name the projection source
+          // is wave-invariant and every wave of every crawl in a session
+          // shares one compiled class. Value-identical: partition
+          // inference types `wave=N` as the same IntegerType the literal
+          // had.
+          .parquet(s"$wavePath/wave=$wave")
       }
       val staged = spark.read.parquet(wavePath)
       val fetchInput = staged
@@ -606,10 +615,14 @@ object Crawl {
         else tick("live.count", wave)(frontierLive.count())
       val freshCount = tick("staged.count", wave)(fetchInput.count())
       frontierCount = tick("expand+links.count", wave)(nextFrontier.count())
+      // per-wave constants ride a broadcast 1-row frame, not literals:
+      // same Janino-churn argument as the stage-out write — values in
+      // relation data keep the lineage projection's generated source
+      // wave-invariant (types unchanged: int, long, long)
+      val waveMeta = Seq((wave, scheduledCount, scheduledCount - freshCount))
+        .toDF("wave", "scheduled", "deduped")
       val waveLineage = waveLineageBase
-        .withColumn("wave", lit(wave))
-        .withColumn("scheduled", lit(scheduledCount))
-        .withColumn("deduped", lit(scheduledCount - freshCount))
+        .crossJoin(broadcast(waveMeta))
         .select("wave", "partition_id", "scheduled", "deduped", "fetched")
 
       // schedule part re-reads the staged parquet (no recompute)
