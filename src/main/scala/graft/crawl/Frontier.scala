@@ -51,11 +51,15 @@ import graft.model.Post
 final case class ExpandRow(post: Option[Post], link: Option[SyntheticWeb.Req])
 
 /** A frontier row entering the fused dedup+politeness pass. */
-final case class WaveRow(url: String, site_id: String, kind: String, page: Int, row: Int,
+final case class WaveRow(site_id: String, kind: String, page: Int, row: Int,
     depth: Int, crawl_delay_ms: Int, url_hash: Long, host_hash: Long)
 
-/** A scheduled row leaving the fused pass (politeness clock assigned). */
-final case class RankedRow(url: String, site_id: String, kind: String, page: Int, row: Int,
+/** A scheduled row leaving the fused pass (politeness clock assigned).
+  * No `url` field: the URL string is grammar-derived from the coordinates
+  * ([[UrlGrammar]]), so the dedup+politeness exchange and the salted
+  * write exchange move 8-byte hashes and small ints instead of the
+  * 60-90-byte URL string — it is re-materialized in the write projection. */
+final case class RankedRow(site_id: String, kind: String, page: Int, row: Int,
     depth: Int, crawl_delay_ms: Int, url_hash: Long, host_hash: Long, ready_ms: Long)
 
 /**
@@ -248,7 +252,11 @@ object Crawl {
     val emptyLineage = Seq.empty[(Int, Int, Long, Long, Long)]
       .toDF("wave", "partition_id", "scheduled", "deduped", "fetched")
 
-    var frontier = frontier0
+    // the frontier is url-free inside the wave loop (UrlGrammar derives
+    // the string from coordinates at the consumption edges); dropping the
+    // column here normalizes every entry path — fresh seeds (which carry
+    // the Req url) and resumed snapshots (already url-free) alike
+    var frontier = frontier0.drop("url")
     // Growing state is kept as PARTS (one persisted DataFrame per wave) and
     // unioned once at the end: rebuilding a growing union tree inside the
     // loop makes Catalyst/AQE re-plan an ever-larger plan every wave — a
@@ -313,13 +321,18 @@ object Crawl {
       val frontierLive =
         if (midCrawlFailures.isEmpty) frontier
         else frontier.filter(!col("site_id").isin(midCrawlFailures.keys.toSeq: _*))
-      // 1. canonicalize + hash (codegen'd kernels), join robots rules
-      //    (broadcast) and enforce Disallow BEFORE any scheduling work.
-      //    Only the 8-byte HASH of the canonical form travels through the
-      //    wave's shuffles — the canonical string itself is recomputed by
-      //    the (parallel, codegen'd) kernel at stage-out time: shuffle
-      //    bytes are the contended resource, per-row CPU is not.
+      // 1. re-materialize the URL from its grammar coordinates (the
+      //    frontier persists/shuffles only (site_id, kind, page, row,
+      //    depth) — see UrlGrammar), then canonicalize + hash (codegen'd
+      //    kernels), join robots rules (broadcast) and enforce Disallow
+      //    BEFORE any scheduling work. Only the 8-byte HASH of the
+      //    canonical form travels through the wave's shuffles — the
+      //    canonical string itself is recomputed by the (parallel,
+      //    codegen'd) kernel at stage-out time: shuffle bytes are the
+      //    contended resource, per-row CPU is not.
       val keyed = frontierLive
+        .withColumn("url", UrlGrammar.rebuild_url(col("site_id"), col("kind"),
+          col("page"), col("row"), cfg.scale, cfg.rev))
         .withColumn("url_hash", xxhash64(GraftFunctions.url_canonicalize(col("url"))))
         .withColumn("host", GraftFunctions.url_host(col("url")))
         .join(robotsDf, Seq("host"), "left")
@@ -372,7 +385,7 @@ object Crawl {
           val fresh0 = tick("sketch+filterNew(build)", wave)(
             SeenSet.filterNewProbe(keyed, seenAll, "url_hash",
               sketch.probe(col("url_hash"))))
-          fresh0.select(col("url"), col("site_id"), col("kind"), col("page"), col("row"),
+          fresh0.select(col("site_id"), col("kind"), col("page"), col("row"),
               col("depth"), col("crawl_delay_ms"), col("url_hash"), col("host_hash"))
             .as[WaveRow]
             // finer than the reducer knob: a host cannot split across
@@ -395,7 +408,7 @@ object Crawl {
                   curHost = r.host_hash; rank = 0L; seenUrl.clear(); started = true
                 }
                 if (seenUrl.add(r.url_hash)) {
-                  val out = RankedRow(r.url, r.site_id, r.kind, r.page, r.row, r.depth,
+                  val out = RankedRow(r.site_id, r.kind, r.page, r.row, r.depth,
                     r.crawl_delay_ms, r.url_hash, r.host_hash,
                     rank * r.crawl_delay_ms)
                   rank += 1
@@ -432,6 +445,9 @@ object Crawl {
             .withColumn("ready_ms",
               (row_number().over(wHost) - 1).cast("long") * col("crawl_delay_ms"))
             .withColumn("salt", pmod(col("url_hash"), lit(cfg.numSalts)))
+            // uniform url-free schedule schema: the write projection below
+            // re-materializes the URL for every strategy
+            .drop("url")
         }
 
       // 5. salted repartition for the fetch stage (defeats host skew — the
@@ -466,6 +482,10 @@ object Crawl {
         (if (saltedWrite)
           scheduled.repartition(writeParts, col("host_hash"), col("salt"))
         else scheduled)
+          // the URL string re-enters HERE, after the exchanges: one
+          // grammar-kernel evaluation per written row (UrlGrammar)
+          .withColumn("url", UrlGrammar.rebuild_url(col("site_id"), col("kind"),
+            col("page"), col("row"), cfg.scale, cfg.rev))
           .withColumn("partition_id", spark_partition_id())
           .write.mode("overwrite")
           // wave files are transient single-reader stage-out; pinned A/B at
@@ -592,7 +612,12 @@ object Crawl {
       // path (measured: the biggest single CPU consumer of the 8-core
       // bench). Columnar files read back splittable and prunable; =0
       // reverts to the cache for A/B.
+      // the link rows persist COORDINATES only — the URL string (~70 B of
+      // the ~100 B row) is grammar-derived, so dropping it shrinks the
+      // inter-wave frontier file (written AND re-read every wave) by ~2/3;
+      // the next wave's `keyed` re-materializes it (UrlGrammar)
       val linksDf = expanded.filter(_.link.isDefined).map(_.link.get).toDF()
+        .drop("url")
       val nextFrontier =
         if (sys.env.get("SPARK_GRAFT_LINKS_STAGE").contains("0"))
           linksDf.persist(StorageLevel.MEMORY_AND_DISK)
