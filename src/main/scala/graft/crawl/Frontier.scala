@@ -482,10 +482,13 @@ object Crawl {
         (if (saltedWrite)
           scheduled.repartition(writeParts, col("host_hash"), col("salt"))
         else scheduled)
-          // the URL string re-enters HERE, after the exchanges: one
-          // grammar-kernel evaluation per written row (UrlGrammar)
-          .withColumn("url", UrlGrammar.rebuild_url(col("site_id"), col("kind"),
-            col("page"), col("row"), cfg.scale, cfg.rev))
+          // coordinates only: like `canonical`/`host` (and since change
+          // 12, the exchanges), the wave FILE does not store the URL
+          // string either — at scale 1M the stage-out parquet drops
+          // ~93 → ~23 MB per big wave, the dominant wave-write cost.
+          // Consumers re-derive url/canonical/host from the grammar
+          // kernel at read time (fetchInput below); the PERSISTED
+          // schedule/snapshot artifacts still materialize the URL.
           .withColumn("partition_id", spark_partition_id())
           .write.mode("overwrite")
           // wave files are transient single-reader stage-out; pinned A/B at
@@ -493,13 +496,14 @@ object Crawl {
           // snappy vs none within host noise — keep the parquet default,
           // expose the knob for cluster-specific tuning
           .option("compression", sys.env.getOrElse("SPARK_GRAFT_WAVE_CODEC", "snappy"))
-          // dictionary encoding buys little on high-cardinality URL strings
-          // (every value unique) and its per-writer hash state is pure LLC
-          // pressure when many writers run concurrently — off by default
-          // for the transient wave files; the persisted snapshot/cache
-          // parquet keeps the parquet defaults
+          // dictionary encoding was OFF while the unique URL strings rode
+          // in this file (dict hashing on never-repeating values is pure
+          // LLC pressure); with the file now coordinates-only its string
+          // columns (site_id, kind) have 54/2 distinct values — exactly
+          // what dictionary encoding is for, so the parquet default is
+          // back on (knob retained for A/B)
           .option("parquet.enable.dictionary",
-            sys.env.getOrElse("SPARK_GRAFT_WAVE_DICT", "false"))
+            sys.env.getOrElse("SPARK_GRAFT_WAVE_DICT", "true"))
           // hive-style wave=N leaf dir: the wave number rides as a
           // PARTITION column on read-back instead of a `lit(wave)` in the
           // write projection — an int literal is inlined into the
@@ -514,6 +518,11 @@ object Crawl {
       }
       val staged = spark.read.parquet(wavePath)
       val fetchInput = staged
+        // the URL string re-enters HERE, at read time (one grammar-kernel
+        // evaluation per consuming projection — per-row CPU in parallel
+        // stages, traded for the dominant stage-out write/read bytes)
+        .withColumn("url", UrlGrammar.rebuild_url(col("site_id"), col("kind"),
+          col("page"), col("row"), cfg.scale, cfg.rev))
         .withColumn("canonical", GraftFunctions.url_canonicalize(col("url")))
         .withColumn("host", GraftFunctions.url_host(col("url")))
 
