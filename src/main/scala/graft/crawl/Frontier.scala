@@ -482,12 +482,13 @@ object Crawl {
         (if (saltedWrite)
           scheduled.repartition(writeParts, col("host_hash"), col("salt"))
         else scheduled)
-          // coordinates only: like `canonical`/`host` (and since change
-          // 12, the exchanges), the wave FILE does not store the URL
-          // string either — at scale 1M the stage-out parquet drops
-          // ~93 → ~23 MB per big wave, the dominant wave-write cost.
-          // Consumers re-derive url/canonical/host from the grammar
-          // kernel at read time (fetchInput below); the PERSISTED
+          // coordinates only: like `canonical`/`host` (and like the
+          // exchanges above), the wave FILE does not store the URL
+          // string either — at scale 1M the big-wave stage-out parquet
+          // drops 93 → 55 MB (the residue is the incompressible 8-byte
+          // url/host hashes), the dominant wave-write cost. Consumers
+          // re-derive url/canonical/host from the grammar kernel at
+          // read time (fetchInput below); the PERSISTED
           // schedule/snapshot artifacts still materialize the URL.
           .withColumn("partition_id", spark_partition_id())
           .write.mode("overwrite")
